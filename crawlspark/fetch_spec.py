@@ -1,0 +1,101 @@
+"""Deterministic fetch simulator — the sandbox's "web" (SURVEY.md §3.1 S8).
+
+Heroshi's io-worker performs the real HTTP fetch (Go, stdin/stdout JSON
+lines — recalled, SURVEY.md §0). No network exists here, so the fetch is a
+pure function of the canonical URL: same URL ⇒ same status and same
+interleaved text+media span array, on every run, at every parallelism
+level. Both the Spark engine (inside the U-5 ``applyInPandas`` fetch stage)
+and the pure-Python oracle import THIS module — it is the simulated
+environment, not the system under test; the scheduling/dedup logic that the
+equality tests exercise is implemented independently on each side.
+
+Production swap-in: replace ``simulate_fetch`` with an async HTTP client
+inside the same ``applyInPandas`` batch function; everything downstream
+(span schema, parse, dedup, frontier update) is unchanged.
+
+Spans follow the binding input shape (BASELINE.json:15):
+``array<struct<kind:string, text:string, media_ref:string, offset:int>>``
+with ``offset`` enumerating span order 0..n-1 — span order is data.
+
+Link-universe shape (drives the crawl dynamics the tests need):
+- ``n_hosts`` hosts ``h{k}.example``; hosts h0/h1 absorb ~50% of all link
+  targets (hot-host skew fixture, FIXTURES.md §1 / SURVEY.md §8.M5).
+- ~20% of refs are path-absolute (``/p/…``), ~8% dotted-relative
+  (``../p/…``), rest absolute — exercises link resolution.
+- ~5% of link paths hit ``/private/…`` (robots fixture disallows these on
+  some hosts); a finite ``path_space`` makes the URL universe closed so
+  dedup terminates the crawl.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .xxh64 import hash_str
+
+KINDS = ("text", "link", "image", "video")
+
+
+@dataclass(frozen=True)
+class FetchSpec:
+    n_hosts: int = 50
+    path_space: int = 2000
+    max_spans: int = 8
+    not_found_mod: int = 23  # 1/23 of URLs 404
+
+
+DEFAULT_SPEC = FetchSpec()
+
+
+def status_of(url: str, spec: FetchSpec = DEFAULT_SPEC) -> int:
+    return 404 if hash_str(url + "#fetch") % spec.not_found_mod == 0 else 200
+
+
+def _target_host(url: str, j: int, spec: FetchSpec) -> int:
+    if hash_str(f"{url}#skew{j}") % 2 == 0:
+        return hash_str(f"{url}#hot{j}") % 2  # h0/h1 absorb half the links
+    return hash_str(f"{url}#h{j}") % spec.n_hosts
+
+
+def span_at(url: str, j: int, spec: FetchSpec = DEFAULT_SPEC) -> dict:
+    """Span j of the document at `url` — pure, order-indexed by `offset`."""
+    hj = hash_str(f"{url}#s{j}")
+    r = hj % 100
+    if r < 60:
+        kind = "text"
+    elif r < 85:
+        kind = "link"
+    elif r < 95:
+        kind = "image"
+    else:
+        kind = "video"
+    if kind == "text":
+        return {"kind": "text", "text": f"t{hj % 100000}", "media_ref": None, "offset": j}
+    pid = hash_str(f"{url}#p{j}") % spec.path_space
+    k = _target_host(url, j, spec)
+    rel = hash_str(f"{url}#r{j}") % 100
+    if hash_str(f"{url}#priv{j}") % 20 == 0:
+        path = f"/private/{pid}"
+    else:
+        path = f"/p/{pid}"
+    if rel < 20:
+        ref = path  # path-absolute: resolves against the doc's own host
+    elif rel < 28:
+        ref = f"..{path}"  # dotted relative
+    else:
+        ref = f"http://h{k}.example{path}"
+    text = f"a{hj % 1000}" if kind == "link" else ""
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": j}
+
+
+def simulate_fetch(url: str, spec: FetchSpec = DEFAULT_SPEC) -> tuple[int, list[dict] | None]:
+    """(status, spans) for a canonical URL. 404 ⇒ spans is None."""
+    status = status_of(url, spec)
+    if status != 200:
+        return status, None
+    n = 1 + hash_str(url + "#n") % spec.max_spans
+    return status, [span_at(url, j, spec) for j in range(n)]
+
+
+def doc_id_of(url_hash: int) -> str:
+    return f"d{url_hash & 0xFFFFFFFFFFFFFFFF:016x}"

@@ -1,0 +1,142 @@
+"""Deterministic fixture generators (FIXTURES.md; seed 42 conventions).
+
+Everything here is a pure function of xxh64 — bit-reproducible, no RNG, no
+clock. Fixture parquet for the driver-contract queries is written once per
+sf tier under ``fixtures/<sf>/`` by ``materialize_fixtures`` (invoked by
+__spark_entry__.py on first use and by tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+from .fetch_spec import FetchSpec
+from .xxh64 import hash_str
+
+
+def seed_urls(n_hosts: int = 50, n_deep: int = 140) -> list[str]:
+    """FIXTURES.md §2: host roots + deep paths + canonicalization stress rows."""
+    urls = [f"http://h{k}.example/" for k in range(n_hosts)]
+    for i in range(n_deep):
+        k = hash_str(f"seed#{i}") % n_hosts
+        m = hash_str(f"seedm#{i}") % 500
+        urls.append(f"http://h{k}.example/seed/{m}")
+    urls += [
+        "HTTP://H0.EXAMPLE:80/",                      # scheme/host case + default port
+        "http://h1.example/a/../b/./c",                # dot segments
+        "http://h2.example/x#fragment",                # fragment strip
+        "http://h3.example/x?utm_source=z&q=1",        # tracking param drop
+        "http://h4.example/%7euser/%41bc",             # pct-normalization
+        "http://h5.example",                           # empty path -> /
+        "https://h6.example:443/tls",                  # https default port
+        "http://h0.example/",                          # duplicate of a root
+        "ftp://h9.example/skip",                       # invalid scheme -> dropped
+        "http://h7.example/" + "y" * 3000,             # over-long -> dropped
+    ]
+    return urls
+
+
+def spec_for_sf(sf_name: str) -> FetchSpec:
+    """Fetch-universe size per scale tier (bench grows hosts, not semantics)."""
+    if sf_name.endswith("0.1"):
+        return FetchSpec(n_hosts=2000, path_space=50000)
+    if sf_name.endswith("0.01"):
+        return FetchSpec(n_hosts=200, path_space=5000)
+    return FetchSpec(n_hosts=50, path_space=2000)
+
+
+def seeds_for_sf(sf_name: str) -> list[str]:
+    spec = spec_for_sf(sf_name)
+    if spec.n_hosts <= 50:
+        return seed_urls(n_hosts=spec.n_hosts)
+    return [f"http://h{k}.example/" for k in range(spec.n_hosts)] + [
+        f"http://h{hash_str(f'bseed#{i}') % spec.n_hosts}.example/seed/{hash_str(f'bseedm#{i}') % 500}"
+        for i in range(spec.n_hosts)
+    ]
+
+
+def documents_spans_rows(n_docs: int, spec: FetchSpec) -> list[tuple[str, list[dict]]]:
+    """FIXTURES.md §1 interleaved spans fixture — exactly the BASELINE
+    input_hint shape (doc_id, spans). Span content is generated through the
+    fetch spec keyed by a synthetic per-doc URL, so the hot-host skew and
+    kind mix match the crawl's document stream."""
+    from .fetch_spec import simulate_fetch
+
+    rows = []
+    for i in range(n_docs):
+        doc_id = f"doc{i:08d}"
+        url = f"http://h{hash_str(doc_id) % spec.n_hosts}.example/fx/{i}"
+        status, spans = simulate_fetch(url, spec)
+        if spans is None:
+            spans = [{"kind": "text", "text": f"t404_{i}", "media_ref": None, "offset": 0}]
+        rows.append((doc_id, spans))
+    return rows
+
+
+FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+
+def fixture_dir(sf_name: str) -> str:
+    return os.path.join(FIXTURE_ROOT, sf_name)
+
+
+def materialize_fixtures(spark, sf_name: str, n_docs: int | None = None) -> str:
+    """Write fixture parquet for a tier (idempotent): documents_spans, seeds,
+    and oracle-derived crawl-state tables (frontier / seen / candidates)
+    with STORED hashes, so DuckDB oracle SQL can match Spark bit-for-bit
+    without reimplementing xxhash64 (SURVEY.md §6.3)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from oracle.simulator import simulate
+    from .config import CrawlConfig
+    from .schemas import DOCUMENTS_SPANS_FIXTURE, FRONTIER, SEEDS, SEEN
+
+    out = fixture_dir(sf_name)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    spec = spec_for_sf(sf_name)
+    if n_docs is None:
+        n_docs = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 50000}.get(sf_name, 1000)
+
+    docs = documents_spans_rows(n_docs, spec)
+    spark.createDataFrame(docs, DOCUMENTS_SPANS_FIXTURE).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "documents_spans.parquet"))
+
+    seeds = seeds_for_sf(sf_name)
+    spark.createDataFrame([(u,) for u in seeds], SEEDS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "seeds.parquet"))
+
+    # oracle-derived crawl state after 2 rounds: realistic frontier/seen with
+    # stored url_hash/host_hash/bucket columns
+    cfg = CrawlConfig()
+    res = simulate(seeds, cfg, spec, max_rounds=2)
+    frontier_rows = [
+        (
+            e.url,
+            e.url_hash,
+            e.host,
+            e.host_hash,
+            e.priority,
+            e.crawl_depth,
+            e.discovered_round,
+            e.not_before_round,
+            "pending",
+        )
+        for e in res.frontier_by_round[max(res.frontier_by_round)]
+    ]
+    spark.createDataFrame(frontier_rows, FRONTIER).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "frontier.parquet"))
+    seen_rows = [
+        (uh, u, uh % cfg.n_buckets) for uh, u in sorted(res.seen.items())
+    ]
+    spark.createDataFrame(seen_rows, SEEN).repartition(4).write.mode("overwrite").parquet(
+        os.path.join(out, "seen.parquet")
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out

@@ -1,0 +1,123 @@
+"""Table IO seam — Iceberg semantics, parquet-snapshot engine (SURVEY.md §6.4).
+
+No Iceberg runtime jar ships in this sandbox (verified: /opt/spark/jars has
+none, no network to fetch one), so exact-resume state lives in a
+directory-per-round parquet layout with a JSON manifest:
+
+    <ckpt>/round=<r>/frontier/          full frontier AFTER round r
+    <ckpt>/round=<r>/seen_delta/        seen rows ADDED in round r (O(batch) IO)
+    <ckpt>/round=<r>/bloom/             per-bucket blob rows after round r
+    <ckpt>/round=<r>/crawl_order/       ordered fetch batch of round r
+    <ckpt>/round=<r>/documents/         docs fetched in round r
+    <ckpt>/round=<r>/lineage/           per-partition metrics of round r
+    <ckpt>/_manifest.json               {"rounds": [...], "config": {...}}
+
+Reading the seen set at round r = parquet glob over seen_delta of rounds
+0..r — append-only, so per-round write cost is O(new URLs), not O(seen).
+The frontier IS rewritten whole per round here; the Iceberg engine variant
+would express the same update as a row-level MERGE (delete selected rows,
+update deferred rows, append new rows — O(batch) row churn, with Iceberg
+compacting underneath). The seam keeps both engines API-compatible:
+swap `SnapshotStore` for an Iceberg-backed implementation with the same
+five methods and `crawlspark.round` does not change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths --------------------------------------------------------------
+    def _dir(self, round_: int, table: str) -> str:
+        return os.path.join(self.root, f"round={round_}", table)
+
+    # -- manifest -----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"rounds": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def commit_round(self, round_: int, extra: dict | None = None) -> None:
+        """Atomically record round `round_` as complete (write-then-rename)."""
+        m = self.read_manifest()
+        if round_ not in m["rounds"]:
+            m["rounds"].append(round_)
+            m["rounds"].sort()
+        if extra:
+            m.setdefault("round_info", {})[str(round_)] = extra
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    def last_complete_round(self) -> int | None:
+        rounds = self.read_manifest()["rounds"]
+        return max(rounds) if rounds else None
+
+    # -- IO -----------------------------------------------------------------
+    def write(self, df: DataFrame, round_: int, table: str) -> None:
+        df.write.mode("overwrite").parquet(self._dir(round_, table))
+
+    def read(self, round_: int, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._dir(round_, table))
+
+    def exists(self, round_: int, table: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(round_, table), "_SUCCESS"))
+
+    def read_seen(self, upto_round: int) -> DataFrame | None:
+        """Union of seen deltas for rounds 0..upto_round (append-only set)."""
+        dirs = [
+            self._dir(r, "seen_delta")
+            for r in range(upto_round + 1)
+            if self.exists(r, "seen_delta")
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def read_all(self, table: str, upto_round: int) -> DataFrame | None:
+        dirs = [
+            self._dir(r, table) for r in range(upto_round + 1) if self.exists(r, table)
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def drop_rounds_after(self, round_: int) -> None:
+        """Used by resume tests to simulate a crash after `round_`."""
+        m = self.read_manifest()
+        for r in [r for r in m["rounds"] if r > round_]:
+            shutil.rmtree(os.path.join(self.root, f"round={r}"), ignore_errors=True)
+        m["rounds"] = [r for r in m["rounds"] if r <= round_]
+        if "round_info" in m:
+            m["round_info"] = {
+                k: v for k, v in m["round_info"].items() if int(k) <= round_
+            }
+        with open(self._manifest_path(), "w") as f:
+            json.dump(m, f, indent=1)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is usable (never in this sandbox)."""
+    try:
+        spark.sql("SELECT 1").collect()
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False

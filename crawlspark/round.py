@@ -1,0 +1,276 @@
+"""Crawl-round orchestration — each round is ONE DataFrame job chain
+(BASELINE.json:6; dataflow of SURVEY.md §4.1, semantics of SPEC.md).
+
+Rounds are logical integers; round r consumes the round r-1 snapshot and
+writes the round r snapshot (frontier / seen_delta / bloom / crawl_order /
+documents / lineage) through the SnapshotStore seam, then commits the round
+in the manifest — which is what makes resume exact: `resume()` re-enters
+the loop from the last committed round with zero driver-side pickled state
+(the Bloom registry is rebuilt from its snapshot rows).
+
+Scale notes (the 10^10 design point):
+- per-round work is O(round batch), not O(frontier): the heavy inputs are
+  the eligible slice (pruned by `not_before_round` at scan) and the
+  candidate links; the seen set is only touched by the Bloom-prefiltered
+  anti-join and an O(new) append;
+- the frontier rewrite is the one O(frontier) IO in the parquet-snapshot
+  engine; the Iceberg engine expresses it as a row-level MERGE (O(batch)
+  row churn) behind the same SnapshotStore API (io_tables.py docstring);
+- every dim join (robots, host budgets, host stats, fetch-batch parents) is
+  an explicit broadcast; the only all-data shuffles per round are the two
+  scheduling windows (salted) and the candidate dedup/anti-join, all keyed
+  to spread by design (salt, url_hash).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from . import fetch as fetch_mod
+from . import ingest, metrics, parse, rank, seen as seen_mod
+from .bloom import BloomRegistry
+from .config import CrawlConfig
+from .fetch_spec import DEFAULT_SPEC, FetchSpec
+from .io_tables import SnapshotStore
+from .robots import robots_table_df
+from .schemas import CRAWL_ORDER, FRONTIER, SEEN_BLOOM
+
+
+@dataclass
+class CrawlState:
+    spark: SparkSession
+    store: SnapshotStore
+    cfg: CrawlConfig
+    spec: FetchSpec
+    robots_df: DataFrame | None
+    registry: BloomRegistry
+    next_round: int
+
+
+def _frontier_shape(df: DataFrame) -> DataFrame:
+    return df.select(*[f.name for f in FRONTIER.fields])
+
+
+def init_crawl(
+    spark: SparkSession,
+    seeds_df: DataFrame,
+    cfg: CrawlConfig = CrawlConfig(),
+    spec: FetchSpec = DEFAULT_SPEC,
+    ckpt: str = "/tmp/crawlspark-ckpt",
+    robots_hosts: list[str] | None = None,
+) -> CrawlState:
+    """Round-0 state: canonicalized+filtered seeds become frontier and seen."""
+    store = SnapshotStore(spark, ckpt)
+    hosts = robots_hosts
+    if hosts is None:
+        hosts = [f"h{k}.example" for k in range(spec.n_hosts)]
+    robots_df = robots_table_df(spark, hosts)
+
+    seeds = seeds_df.select("url").withColumn("priority", F.lit(0)).withColumn(
+        "crawl_depth", F.lit(0)
+    )
+    prepped = ingest.prepare_urls(seeds, cfg, robots_df)
+    deduped = ingest.dedup_candidates(prepped)
+    frontier0 = _frontier_shape(
+        deduped.withColumn("discovered_round", F.lit(0))
+        .withColumn("not_before_round", F.lit(0))
+        .withColumn("state", F.lit("pending"))
+    )
+    store.write(frontier0, 0, "frontier")
+    store.write(deduped.select("url_hash", "url", "bucket"), 0, "seen_delta")
+
+    registry = BloomRegistry(fpp=cfg.bloom_fpp, initial_capacity=cfg.bloom_capacity_per_bucket)
+    _absorb_new_into_registry(spark, registry, store, 0, cfg)
+    _write_bloom(spark, store, registry, 0)
+    store.commit_round(0, {"stage": "init"})
+    return CrawlState(spark, store, cfg, spec, robots_df, registry, next_round=1)
+
+
+def resume(
+    spark: SparkSession,
+    ckpt: str,
+    cfg: CrawlConfig = CrawlConfig(),
+    spec: FetchSpec = DEFAULT_SPEC,
+    robots_hosts: list[str] | None = None,
+) -> CrawlState:
+    """Exact restart from the last committed round (SURVEY.md §4.2)."""
+    store = SnapshotStore(spark, ckpt)
+    last = store.last_complete_round()
+    if last is None:
+        raise ValueError(f"no committed rounds under {ckpt}")
+    hosts = robots_hosts
+    if hosts is None:
+        hosts = [f"h{k}.example" for k in range(spec.n_hosts)]
+    robots_df = robots_table_df(spark, hosts)
+    bloom_rows = store.read(last, "bloom").collect()
+    registry = BloomRegistry.from_rows(
+        [(r["bucket"], r["blob"], r["m_bits"], r["k_hashes"], r["n_items"]) for r in bloom_rows],
+        fpp=cfg.bloom_fpp,
+        initial_capacity=cfg.bloom_capacity_per_bucket,
+    )
+    return CrawlState(spark, store, cfg, spec, robots_df, registry, next_round=last + 1)
+
+
+def _absorb_new_into_registry(
+    spark: SparkSession,
+    registry: BloomRegistry,
+    store: SnapshotStore,
+    round_: int,
+    cfg: CrawlConfig,
+) -> None:
+    """Fold round `round_`'s seen_delta into the Bloom registry (U-4/A3):
+    distributed per-bucket partial blobs, driver-side OR, growth by rebuild."""
+    new_rows = store.read(round_, "seen_delta")
+    counts = {
+        int(r["bucket"]): int(r["n"])
+        for r in new_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return
+    grow = set(registry.buckets_needing_growth(counts))
+    params = {b: (f.m, f.k) for b, f in registry.filters.items()}
+    from .bloom import bloom_params
+
+    default_params = bloom_params(cfg.bloom_capacity_per_bucket, cfg.bloom_fpp)
+    stay = new_rows
+    if grow:
+        stay = new_rows.filter(~F.col("bucket").isin(*[int(b) for b in grow]))
+    partials = seen_mod.partial_bloom_blobs(stay, params, default_params)
+    for row in partials.collect():
+        registry.get(int(row["bucket"])).absorb_blob(bytes(row["blob"]), int(row["n_items"]))
+    if grow:
+        all_seen = store.read_seen(round_)
+        pdf = (
+            all_seen.filter(F.col("bucket").isin(*[int(b) for b in grow]))
+            .select("bucket", "url_hash")
+            .toPandas()
+        )
+        for b in grow:
+            hashes = pdf.loc[pdf["bucket"] == b, "url_hash"].to_numpy()
+            registry.rebuild(int(b), hashes)
+
+
+def _write_bloom(spark, store, registry: BloomRegistry, round_: int) -> None:
+    store.write(spark.createDataFrame(registry.to_rows(), SEEN_BLOOM), round_, "bloom")
+
+
+def crawl_round(st: CrawlState, r: int) -> dict:
+    """Execute round r per SPEC.md; returns counters for the caller/bench."""
+    spark, store, cfg = st.spark, st.store, st.cfg
+    frontier = store.read(r - 1, "frontier")
+    eligible = frontier.filter(F.col("not_before_round") <= r)
+    ineligible = frontier.filter(F.col("not_before_round") > r)
+
+    # --- schedule (W1/W2 salted two-phase + O3 cap + S10 order) ------------
+    selected = rank.select_batch(eligible, st.robots_df, cfg)
+    ordered = rank.with_seq(rank.cap_round(selected, cfg)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_selected = ordered.count()
+    store.write(
+        ordered.select(
+            F.lit(r).cast("int").alias("round"),
+            "seq",
+            "url",
+            "url_hash",
+            "host_hash",
+        ),
+        r,
+        "crawl_order",
+    )
+
+    # --- fetch (U-5) -> documents sink (S5) --------------------------------
+    docs = fetch_mod.fetch_selected(ordered, r, st.spec)
+    store.write(docs, r, "documents")
+    docs_r = store.read(r, "documents")  # re-read: fetch runs exactly once
+
+    # --- parse (U-6) -> candidates -> new (J1) -----------------------------
+    cands = parse.candidate_links(docs_r, ordered)
+    cands = ingest.prepare_urls(cands, cfg, st.robots_df)
+    cands = ingest.dedup_candidates(cands)
+    seen_df = store.read_seen(r - 1)
+    payload = st.registry.broadcast_payload() if cfg.use_bloom_prefilter else None
+    bcast = spark.sparkContext.broadcast(payload) if payload is not None else None
+    new = seen_mod.filter_new(cands, seen_df, bcast, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_new = new.count()
+    store.write(new.select("url_hash", "url", "bucket"), r, "seen_delta")
+    _absorb_new_into_registry(spark, st.registry, store, r, cfg)
+    _write_bloom(spark, store, st.registry, r)
+
+    # --- frontier advance (U1/U2 + W3 deferral) ----------------------------
+    budgets = rank.host_budgets(st.robots_df, cfg)
+    deferred = eligible.join(ordered.select("url_hash"), "url_hash", "left_anti")
+    if budgets is not None:
+        deferred = (
+            deferred.join(
+                F.broadcast(budgets.select("_b_host", "delay_slots")),
+                deferred["host"] == F.col("_b_host"),
+                "left",
+            )
+            .drop("_b_host")
+            .withColumn(
+                "not_before_round",
+                (F.lit(r) + F.coalesce(F.col("delay_slots"), F.lit(1))).cast("int"),
+            )
+            .drop("delay_slots")
+        )
+    else:
+        deferred = deferred.withColumn("not_before_round", F.lit(r + 1).cast("int"))
+    new_frontier_rows = (
+        new.withColumn("discovered_round", F.lit(r))
+        .withColumn("not_before_round", F.lit(r + 1))
+        .withColumn("state", F.lit("pending"))
+    )
+    frontier_next = (
+        _frontier_shape(deferred)
+        .unionByName(_frontier_shape(ineligible))
+        .unionByName(_frontier_shape(new_frontier_rows))
+    )
+    store.write(frontier_next, r, "frontier")
+    n_frontier = store.read(r, "frontier").count()
+
+    # --- lineage + metrics (S9/A4) -----------------------------------------
+    lineage = metrics.partition_lineage(ordered, r, "selected").unionByName(
+        metrics.partition_lineage(new, r, "new")
+    )
+    store.write(lineage, r, "lineage")
+    store.write(metrics.fetch_metrics(docs_r, r), r, "metrics")
+
+    store.commit_round(
+        r, {"selected": n_selected, "new": n_new, "frontier": n_frontier}
+    )
+    ordered.unpersist()
+    new.unpersist()
+    if bcast is not None:
+        bcast.unpersist()
+    st.next_round = r + 1
+    return {"round": r, "selected": n_selected, "new": n_new, "frontier": n_frontier}
+
+
+def run_crawl(st: CrawlState, max_rounds: int) -> list[dict]:
+    """Drive rounds until the frontier drains or max_rounds is hit."""
+    out = []
+    for r in range(st.next_round, max_rounds + 1):
+        info = crawl_round(st, r)
+        out.append(info)
+        if info["frontier"] == 0:
+            break
+    return out
+
+
+def read_crawl_order(st: CrawlState, upto_round: int | None = None) -> DataFrame:
+    upto = upto_round if upto_round is not None else st.next_round - 1
+    df = st.store.read_all("crawl_order", upto)
+    if df is None:
+        return st.spark.createDataFrame([], CRAWL_ORDER)
+    return df.orderBy("round", "seq")
+
+
+def read_final_seen(st: CrawlState, upto_round: int | None = None) -> DataFrame:
+    upto = upto_round if upto_round is not None else st.next_round - 1
+    return st.store.read_seen(upto)

@@ -1,0 +1,190 @@
+"""Pure-Python crawl oracle — the reference stand-in (SURVEY.md §6.2.3).
+
+Implements SPEC.md round semantics with plain dicts and sorts, completely
+independently of the Spark engine's relational formulation: no windows, no
+joins, no salting, no Bloom filter — per host it literally sorts and slices
+the pending list, and the seen set is an exact Python dict. If the engine's
+salted two-phase windows, broadcast joins, Bloom-prefiltered anti-join and
+snapshot plumbing are correct, its crawl order and final seen set match
+this simulator bit-for-bit (tests/test_equality.py).
+
+Shared with the engine (environment / pure definitions, NOT the system
+under test): crawlspark.urlnorm (canonical-form definition),
+crawlspark.robots (rule fixtures + longest-match predicate),
+crawlspark.fetch_spec (the simulated web), crawlspark.xxh64
+(Spark-compatible hashing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from crawlspark import fetch_spec as fs
+from crawlspark import urlnorm
+from crawlspark.config import CrawlConfig
+from crawlspark.robots import allowed as robots_allowed
+from crawlspark.robots import rules_for_host
+from crawlspark.xxh64 import hash_str
+
+
+@dataclass
+class Entry:
+    url: str
+    url_hash: int
+    host: str
+    host_hash: int
+    priority: int
+    crawl_depth: int
+    discovered_round: int
+    not_before_round: int
+
+
+@dataclass
+class OracleResult:
+    crawl_order: list[tuple[int, int, str]] = field(default_factory=list)  # (round, seq, url)
+    seen: dict[int, str] = field(default_factory=dict)  # url_hash -> url
+    docs: list[tuple[str, str, int, int, list[dict] | None]] = field(default_factory=list)
+    frontier_by_round: dict[int, list[Entry]] = field(default_factory=dict)
+    rounds: list[dict] = field(default_factory=list)
+
+
+def _prep_url(raw: str, cfg: CrawlConfig) -> tuple[str, int, str, int] | None:
+    """canon → validity → (url, url_hash, host, host_hash); None if dropped."""
+    c = urlnorm.canon_url(raw)
+    if c is None or not urlnorm.is_valid_url(c, cfg.max_url_len):
+        return None
+    host = urlnorm.host_of(c)
+    if not host:
+        return None
+    return c, hash_str(c), host, hash_str(host)
+
+
+def _robots_ok(url: str, host: str) -> bool:
+    allow, disallow, _ = rules_for_host(host)
+    return robots_allowed(urlnorm.path_of(url), allow, disallow)
+
+
+def _host_budget(host: str, cfg: CrawlConfig) -> tuple[int, int]:
+    _, _, delay = rules_for_host(host)
+    b = max(1, cfg.max_fetches_per_host_per_round // delay)
+    return b, delay
+
+
+def simulate(
+    seed_urls: list[str],
+    cfg: CrawlConfig = CrawlConfig(),
+    spec: fs.FetchSpec = fs.DEFAULT_SPEC,
+    max_rounds: int = 5,
+) -> OracleResult:
+    res = OracleResult()
+    frontier: dict[int, Entry] = {}
+
+    # --- init (SPEC.md Init) ------------------------------------------------
+    cand: dict[int, Entry] = {}
+    for raw in seed_urls:
+        p = _prep_url(raw, cfg)
+        if p is None:
+            continue
+        url, uh, host, hh = p
+        if not _robots_ok(url, host):
+            continue
+        e = Entry(url, uh, host, hh, 0, 0, 0, 0)
+        old = cand.get(uh)
+        if old is None or (e.priority, e.crawl_depth, e.url) < (
+            old.priority,
+            old.crawl_depth,
+            old.url,
+        ):
+            cand[uh] = e
+    frontier = dict(cand)
+    res.seen = {uh: e.url for uh, e in frontier.items()}
+    res.frontier_by_round[0] = sorted(frontier.values(), key=lambda e: (e.url_hash,))
+
+    # --- rounds -------------------------------------------------------------
+    for r in range(1, max_rounds + 1):
+        eligible = [e for e in frontier.values() if e.not_before_round <= r]
+        # per-host top-B_h by (priority, depth, url_hash, url)  [SPEC §3]
+        by_host: dict[int, list[Entry]] = {}
+        for e in eligible:
+            by_host.setdefault(e.host_hash, []).append(e)
+        selected: list[tuple[Entry, int]] = []  # (entry, per-host rank)
+        for hh, entries in by_host.items():
+            entries.sort(key=lambda e: (e.priority, e.crawl_depth, e.url_hash, e.url))
+            b, _ = _host_budget(entries[0].host, cfg)
+            for i, e in enumerate(entries[:b]):
+                selected.append((e, i + 1))
+        # global cap K in emission order (host_hash, rank, url)  [SPEC §4]
+        selected.sort(key=lambda t: (t[0].host_hash, t[1], t[0].url))
+        selected = selected[: cfg.round_capacity]
+        for seq, (e, _rank) in enumerate(selected):
+            res.crawl_order.append((r, seq, e.url))
+
+        # fetch + parse  [SPEC §5-6]
+        new_cand: dict[int, Entry] = {}
+        for e, _rank in selected:
+            status, spans = fs.simulate_fetch(e.url, spec)
+            res.docs.append((fs.doc_id_of(e.url_hash), e.url, r, status, spans))
+            if status != 200 or not spans:
+                continue
+            for s in spans:
+                if s["kind"] not in ("link", "image", "video"):
+                    continue
+                ref = s["media_ref"]
+                if not ref:
+                    continue
+                target = urlnorm.resolve_url(e.url, ref)
+                p = _prep_url(target, cfg) if target else None
+                if p is None:
+                    continue
+                url, uh, host, hh = p
+                depth = e.crawl_depth + 1
+                prio = e.priority + (1 if s["kind"] == "link" else 2)
+                if depth > cfg.max_depth:
+                    continue
+                if not _robots_ok(url, host):
+                    continue
+                old = new_cand.get(uh)
+                if old is None:
+                    new_cand[uh] = Entry(url, uh, host, hh, prio, depth, r, r + 1)
+                else:
+                    # A2 dedup: min url / min priority / min depth
+                    old.priority = min(old.priority, prio)
+                    old.crawl_depth = min(old.crawl_depth, depth)
+                    old.url = min(old.url, url)
+
+        new_entries = {uh: e for uh, e in new_cand.items() if uh not in res.seen}
+
+        # advance  [SPEC §10]
+        sel_hashes = {e.url_hash for e, _ in selected}
+        next_frontier: dict[int, Entry] = {}
+        for uh, e in frontier.items():
+            if uh in sel_hashes:
+                continue
+            if e.not_before_round <= r:
+                _, delay = _host_budget(e.host, cfg)
+                e.not_before_round = r + delay
+            next_frontier[uh] = e
+        for uh, e in new_entries.items():
+            res.seen[uh] = e.url
+            next_frontier[uh] = e
+        frontier = next_frontier
+        res.frontier_by_round[r] = sorted(frontier.values(), key=lambda e: (e.url_hash,))
+        res.rounds.append(
+            {
+                "round": r,
+                "selected": len(selected),
+                "new": len(new_entries),
+                "frontier": len(frontier),
+            }
+        )
+        if not frontier:
+            break
+    return res
+
+
+def seen_digest(res: OracleResult) -> tuple[int, int]:
+    """(count, bit_xor of url_hash) — order-insensitive digest (A6)."""
+    x = 0
+    for uh in res.seen:
+        x ^= uh & 0xFFFFFFFFFFFFFFFF
+    return len(res.seen), x

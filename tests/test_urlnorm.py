@@ -1,0 +1,60 @@
+"""Golden canonicalization vectors + properties (SURVEY.md §6.2.1-2)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlspark.urlnorm import canon_url, host_of, is_valid_url, path_of, resolve_url
+
+GOLDEN = [
+    ("HTTP://H0.EXAMPLE:80/", "http://h0.example/"),
+    ("https://Host.Example:443/x", "https://host.example/x"),
+    ("http://h1.example/a/../b/./c", "http://h1.example/b/c"),
+    ("http://h2.example/x#fragment", "http://h2.example/x"),
+    ("http://h3.example/x?utm_source=z&q=1", "http://h3.example/x?q=1"),
+    ("http://h3.example/x?UTM_CAMPAIGN=z", "http://h3.example/x"),
+    ("http://h4.example/%7euser/%41bc", "http://h4.example/~user/Abc"),
+    ("http://h4.example/%2fkeep", "http://h4.example/%2Fkeep"),  # reserved stays encoded, uppercased
+    ("http://h5.example", "http://h5.example/"),
+    ("http://h5.example./", "http://h5.example/"),
+    ("http://h6.example:8080/p", "http://h6.example:8080/p"),    # non-default port kept
+    ("http://h7.example/a/b/../../c", "http://h7.example/c"),
+    ("http://h7.example/a/b/..", "http://h7.example/a/"),
+    ("http://h8.example/?", "http://h8.example/"),
+    ("  http://h9.example/sp  ", "http://h9.example/sp"),
+    ("ftp://h9.example/skip", None),
+    ("not a url", None),
+    ("", None),
+    (None, None),
+]
+
+
+@pytest.mark.parametrize("raw,expected", GOLDEN)
+def test_golden_vectors(raw, expected):
+    assert canon_url(raw) == expected
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_canon_idempotent(s):
+    c = canon_url(s)
+    if c is not None:
+        assert canon_url(c) == c
+
+
+def test_resolve():
+    assert resolve_url("http://h0.example/a/b", "/p/1") == "http://h0.example/p/1"
+    assert resolve_url("http://h0.example/a/b", "../p/1") == "http://h0.example/p/1"
+    assert resolve_url("http://h0.example/a/b/", "../p/1") == "http://h0.example/a/p/1"
+    assert resolve_url("http://h0.example/a", "http://h1.example/z") == "http://h1.example/z"
+    assert resolve_url(None, "/p/1") is None
+    assert resolve_url("http://h0.example/", "") is None
+
+
+def test_host_path():
+    assert host_of("http://h0.example:8080/x") == "h0.example"
+    assert path_of("http://h0.example/x?q=1") == "/x?q=1"
+    assert path_of("http://h0.example/") == "/"
+    assert is_valid_url("http://h0.example/")
+    assert not is_valid_url("x" * 10)
+    assert not is_valid_url("http://" + "y" * 3000)

@@ -23,12 +23,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .config import CrawlConfig
 
-RANK_ORDER = [
-    F.col("priority").asc(),
-    F.col("crawl_depth").asc(),
-    F.col("url_hash").asc(),
-    F.col("url").asc(),
-]
+def _rank_order():
+    return [
+        F.col("priority").asc(),
+        F.col("crawl_depth").asc(),
+        F.col("url_hash").asc(),
+        F.col("url").asc(),
+    ]
 
 
 def host_stats(eligible: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -92,13 +93,13 @@ def select_batch(
     )
 
     # W1 stage 1: heavy window split by salt; keep full host budget per salt
-    w1 = Window.partitionBy("host_hash", "salt").orderBy(*RANK_ORDER)
+    w1 = Window.partitionBy("host_hash", "salt").orderBy(*_rank_order())
     survivors = df.withColumn("_r1", F.row_number().over(w1)).filter(
         F.col("_r1") <= F.col("host_budget")
     )
 
     # W1 stage 2: exact per-host rank over ≤ n_salts·B_h survivors; W2 cutoff
-    w2 = Window.partitionBy("host_hash").orderBy(*RANK_ORDER)
+    w2 = Window.partitionBy("host_hash").orderBy(*_rank_order())
     selected = (
         survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= F.col("host_budget"))

@@ -17,7 +17,7 @@ crawlspark.fetch_spec (the simulated web), crawlspark.xxh64
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from crawlspark import fetch_spec as fs
 from crawlspark import urlnorm
@@ -98,7 +98,7 @@ def simulate(
             cand[uh] = e
     frontier = dict(cand)
     res.seen = {uh: e.url for uh, e in frontier.items()}
-    res.frontier_by_round[0] = sorted(frontier.values(), key=lambda e: (e.url_hash,))
+    res.frontier_by_round[0] = sorted((replace(e) for e in frontier.values()), key=lambda e: (e.url_hash,))
 
     # --- rounds -------------------------------------------------------------
     for r in range(1, max_rounds + 1):
@@ -168,7 +168,7 @@ def simulate(
             res.seen[uh] = e.url
             next_frontier[uh] = e
         frontier = next_frontier
-        res.frontier_by_round[r] = sorted(frontier.values(), key=lambda e: (e.url_hash,))
+        res.frontier_by_round[r] = sorted((replace(e) for e in frontier.values()), key=lambda e: (e.url_hash,))
         res.rounds.append(
             {
                 "round": r,

@@ -80,16 +80,20 @@ def fixture_dir(sf_name: str) -> str:
     return os.path.join(FIXTURE_ROOT, sf_name)
 
 
+FIXTURE_ROUND = 3  # the captured "final round" all crawl-state fixtures pin
+
+
 def materialize_fixtures(spark, sf_name: str, n_docs: int | None = None) -> str:
     """Write fixture parquet for a tier (idempotent): documents_spans, seeds,
-    and oracle-derived crawl-state tables (frontier / seen / candidates)
-    with STORED hashes, so DuckDB oracle SQL can match Spark bit-for-bit
-    without reimplementing xxhash64 (SURVEY.md §6.3)."""
-    from pyspark.sql import functions as F  # noqa: F401
-
+    robots, and oracle-captured crawl-state tables of round FIXTURE_ROUND
+    (frontier-before / eligible inputs, selected, candidates_raw,
+    candidates, seen-before) with STORED url/host hashes, so DuckDB oracle
+    SQL can match Spark bit-for-bit without reimplementing xxhash64
+    (SURVEY.md §6.3)."""
     from oracle.simulator import simulate
     from .config import CrawlConfig
-    from .schemas import DOCUMENTS_SPANS_FIXTURE, FRONTIER, SEEDS, SEEN
+    from .robots import robots_rows
+    from .schemas import DOCUMENTS_SPANS_FIXTURE, FRONTIER, ROBOTS, SEEDS, SEEN
 
     out = fixture_dir(sf_name)
     done = os.path.join(out, "_DONE")
@@ -100,43 +104,76 @@ def materialize_fixtures(spark, sf_name: str, n_docs: int | None = None) -> str:
     if n_docs is None:
         n_docs = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 50000}.get(sf_name, 1000)
 
+    def write(df, name, parts=4):
+        df.repartition(parts).write.mode("overwrite").parquet(os.path.join(out, name))
+
     docs = documents_spans_rows(n_docs, spec)
-    spark.createDataFrame(docs, DOCUMENTS_SPANS_FIXTURE).repartition(8).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "documents_spans.parquet"))
+    write(spark.createDataFrame(docs, DOCUMENTS_SPANS_FIXTURE), "documents_spans.parquet", 8)
 
     seeds = seeds_for_sf(sf_name)
-    spark.createDataFrame([(u,) for u in seeds], SEEDS).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "seeds.parquet"))
+    write(spark.createDataFrame([(u,) for u in seeds], SEEDS), "seeds.parquet", 1)
 
-    # oracle-derived crawl state after 2 rounds: realistic frontier/seen with
-    # stored url_hash/host_hash/bucket columns
+    hosts = [f"h{k}.example" for k in range(spec.n_hosts)]
+    write(spark.createDataFrame(robots_rows(hosts), ROBOTS), "robots.parquet", 1)
+
     cfg = CrawlConfig()
-    res = simulate(seeds, cfg, spec, max_rounds=2)
-    frontier_rows = [
-        (
-            e.url,
-            e.url_hash,
-            e.host,
-            e.host_hash,
-            e.priority,
-            e.crawl_depth,
-            e.discovered_round,
-            e.not_before_round,
-            "pending",
+    res = simulate(seeds, cfg, spec, max_rounds=FIXTURE_ROUND)
+
+    def entry_row(e):
+        return (
+            e.url, e.url_hash, e.host, e.host_hash, e.priority, e.crawl_depth,
+            e.discovered_round, e.not_before_round, "pending",
         )
-        for e in res.frontier_by_round[max(res.frontier_by_round)]
-    ]
-    spark.createDataFrame(frontier_rows, FRONTIER).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(out, "frontier.parquet"))
-    seen_rows = [
-        (uh, u, uh % cfg.n_buckets) for uh, u in sorted(res.seen.items())
-    ]
-    spark.createDataFrame(seen_rows, SEEN).repartition(4).write.mode("overwrite").parquet(
-        os.path.join(out, "seen.parquet")
+
+    # frontier BEFORE round FIXTURE_ROUND (i.e. snapshot of round-1 end)
+    write(
+        spark.createDataFrame(
+            [entry_row(e) for e in res.frontier_by_round[FIXTURE_ROUND - 1]], FRONTIER
+        ),
+        "frontier.parquet",
     )
+    # seen BEFORE round FIXTURE_ROUND
+    write(
+        spark.createDataFrame(
+            [(uh, u, uh % cfg.n_buckets) for uh, u in sorted(res.last_seen_before.items())],
+            SEEN,
+        ),
+        "seen.parquet",
+    )
+    # selected batch of round FIXTURE_ROUND, with per-host rank
+    sel_schema = (
+        "url string, url_hash long, host string, host_hash long, priority int, "
+        "crawl_depth int, rank int"
+    )
+    write(
+        spark.createDataFrame(
+            [
+                (e.url, e.url_hash, e.host, e.host_hash, e.priority, e.crawl_depth, rk)
+                for e, rk in res.last_selected
+            ],
+            sel_schema,
+        ),
+        "selected.parquet",
+    )
+    cand_schema = (
+        "url string, url_hash long, host string, host_hash long, priority int, "
+        "crawl_depth int, bucket int"
+    )
+    for name, rows in (
+        ("candidates_raw.parquet", res.last_candidates_raw),
+        ("candidates.parquet", res.last_candidates),
+    ):
+        write(
+            spark.createDataFrame(
+                [
+                    (e.url, e.url_hash, e.host, e.host_hash, e.priority, e.crawl_depth,
+                     e.url_hash % cfg.n_buckets)
+                    for e in rows
+                ],
+                cand_schema,
+            ),
+            name,
+        )
     with open(done, "w") as f:
         f.write("ok\n")
     return out

@@ -46,6 +46,13 @@ class OracleResult:
     docs: list[tuple[str, str, int, int, list[dict] | None]] = field(default_factory=list)
     frontier_by_round: dict[int, list[Entry]] = field(default_factory=dict)
     rounds: list[dict] = field(default_factory=list)
+    # captures of the FINAL simulated round (fixture tables for the
+    # driver-contract queries, fixtures.py):
+    last_round: int = 0
+    last_seen_before: dict[int, str] = field(default_factory=dict)
+    last_selected: list[tuple[Entry, int]] = field(default_factory=list)  # (entry, rank)
+    last_candidates_raw: list[Entry] = field(default_factory=list)  # pre-A2-dedup
+    last_candidates: list[Entry] = field(default_factory=list)  # post-A2, pre-seen-filter
 
 
 def _prep_url(raw: str, cfg: CrawlConfig) -> tuple[str, int, str, int] | None:
@@ -102,6 +109,8 @@ def simulate(
 
     # --- rounds -------------------------------------------------------------
     for r in range(1, max_rounds + 1):
+        res.last_round = r
+        res.last_seen_before = dict(res.seen)
         eligible = [e for e in frontier.values() if e.not_before_round <= r]
         # per-host top-B_h by (priority, depth, url_hash, url)  [SPEC §3]
         by_host: dict[int, list[Entry]] = {}
@@ -119,7 +128,10 @@ def simulate(
         for seq, (e, _rank) in enumerate(selected):
             res.crawl_order.append((r, seq, e.url))
 
+        res.last_selected = [(replace(e), rk) for e, rk in selected]
+
         # fetch + parse  [SPEC §5-6]
+        raw_cands: list[Entry] = []
         new_cand: dict[int, Entry] = {}
         for e, _rank in selected:
             status, spans = fs.simulate_fetch(e.url, spec)
@@ -143,6 +155,7 @@ def simulate(
                     continue
                 if not _robots_ok(url, host):
                     continue
+                raw_cands.append(Entry(url, uh, host, hh, prio, depth, r, r + 1))
                 old = new_cand.get(uh)
                 if old is None:
                     new_cand[uh] = Entry(url, uh, host, hh, prio, depth, r, r + 1)
@@ -152,6 +165,8 @@ def simulate(
                     old.crawl_depth = min(old.crawl_depth, depth)
                     old.url = min(old.url, url)
 
+        res.last_candidates_raw = raw_cands
+        res.last_candidates = [replace(e) for e in new_cand.values()]
         new_entries = {uh: e for uh, e in new_cand.items() if uh not in res.seen}
 
         # advance  [SPEC §10]

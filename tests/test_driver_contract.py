@@ -1,0 +1,83 @@
+"""Mimic the driver's verify: run every queries() entry at sf0.01 and
+compare against its oracle_sql() DuckDB result — row count, column names,
+and order-insensitive values (SURVEY.md §6.2.4)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return v
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = _duck()
+    yield con
+    con.close()
+
+
+ORACLE = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE.keys()))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(ORACLE[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    sc, sr = _canon_rows(s_cols, s_rows)
+    dc, dr = _canon_rows(d_cols, d_rows)
+    assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
+    assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
+    assert sr == dr, f"{name}: value mismatch (first diff: "
+    f"{next(((a, b) for a, b in zip(sr, dr) if a != b), None)})"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

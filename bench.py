@@ -1,0 +1,139 @@
+"""Bench harness (driver-run per round; see BASELINE.md protocol).
+
+Headline workload = the flagship crawl loop at the scale tier named by
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1): seeds + fetch universe
+sized by the tier (crawlspark.fixtures.spec_for_sf), R rounds of the full
+round job (schedule → fetch → parse → dedup → advance → checkpoint), on
+local[$SPARK_GRAFT_CPUS]. Primary metric (BASELINE.json:2) =
+URLs scheduled+deduped per second = Σ(selected + new_unique) / wall-sec of
+the round loop. Also times the headline operator queries from
+__spark_entry__.queries() at the same tier.
+
+Prints ONE JSON line:
+  {"metric": "urls_scheduled_deduped_per_sec", "value": <total_sec>,
+   "unit": "sec", "queries": {...}, "sf": ..., "urls_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "4"))
+SF_NAME = os.path.basename(os.path.normpath(SF_DIR))
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName(f"crawlspark-bench-{SF_NAME}")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_crawl(spark) -> dict:
+    from crawlspark import fixtures
+    from crawlspark import round as rnd
+    from crawlspark.config import CrawlConfig
+    from crawlspark.schemas import SEEDS
+
+    spec = fixtures.spec_for_sf(SF_NAME)
+    seeds = fixtures.seeds_for_sf(SF_NAME)
+    cfg = CrawlConfig(
+        round_capacity=200_000,
+        shuffle_partitions=max(CPUS, 8),
+        n_buckets=64,
+    )
+    ckpt = f"/tmp/crawlspark-bench-{SF_NAME}-{CPUS}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    seeds_df = spark.createDataFrame([(u,) for u in seeds], SEEDS)
+
+    t_init0 = time.perf_counter()
+    st = rnd.init_crawl(spark, seeds_df, cfg, spec, ckpt=ckpt)
+    t_init = time.perf_counter() - t_init0
+
+    per_round = {}
+    total_urls = 0
+    t0 = time.perf_counter()
+    for r in range(1, ROUNDS + 1):
+        tr = time.perf_counter()
+        info = rnd.crawl_round(st, r)
+        per_round[f"crawl_round_{r}"] = round(time.perf_counter() - tr, 3)
+        total_urls += info["selected"] + info["new"]
+        if info["frontier"] == 0:
+            break
+    wall = time.perf_counter() - t0
+    return {
+        "wall_sec": wall,
+        "init_sec": t_init,
+        "urls": total_urls,
+        "urls_per_sec": total_urls / wall if wall > 0 else 0.0,
+        "per_round": per_round,
+        "ckpt": ckpt,
+    }
+
+
+def bench_operator_queries(spark) -> dict:
+    import __spark_entry__ as em
+
+    picks = [
+        "link_extract",
+        "seen_antijoin",
+        "host_rank_budget",
+        "inround_dedup",
+        "span_integrity",
+    ]
+    out = {}
+    qs = em.queries()
+    for name in picks:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    return out
+
+
+def main():
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    crawl = bench_crawl(spark)
+    ops = bench_operator_queries(spark)
+    queries = dict(crawl["per_round"])
+    queries.update(ops)
+    total = round(crawl["wall_sec"] + sum(ops.values()), 3)
+    result = {
+        "metric": "urls_scheduled_deduped_per_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_NAME,
+        "cpus": CPUS,
+        "rounds": ROUNDS,
+        "urls_scheduled_deduped": crawl["urls"],
+        "urls_per_sec": round(crawl["urls_per_sec"], 1),
+        "crawl_wall_sec": round(crawl["wall_sec"], 3),
+        "init_sec": round(crawl["init_sec"], 3),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

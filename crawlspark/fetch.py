@@ -1,19 +1,27 @@
-"""U-5 fetch stage: grouped-map pandas UDF over (host_hash, salt) batches
-(SURVEY.md §3.1 S8, §3.10 U-5).
+"""U-5 fetch stage: Arrow-batched mapInPandas over host-hash-partitioned
+batches (SURVEY.md §3.1 S8, §3.10 U-5).
 
-The group key mirrors the politeness unit: one pandas batch = one host's
-(salted) fetch batch, exactly the granularity heroshi's io-worker receives
-on stdin (recalled, SURVEY.md §0). In-sandbox the batch function calls the
-deterministic fetch simulator (fetch_spec.py); in production the same
-function body would drive an async HTTP client — the engine-side contract
-(input: url/url_hash rows; output: DOCUMENTS rows with interleaved span
-arrays) is identical.
+Politeness is enforced ENTIRELY by the scheduler (per-host budgets + round
+slots, rank.py) — by the time rows reach the fetch stage every host has at
+most B_h URLs in flight for the round, exactly like the batches heroshi's
+manager hands to io-worker (recalled, SURVEY.md §0). The fetch stage
+therefore only needs parallel execution, not per-host function calls:
+rows are hash-repartitioned by (host_hash, salt) and sorted by host within
+each partition, so one Arrow batch carries contiguous per-host runs (a
+production HTTP client can reuse connections per host), but the Python
+function runs once per ~10k-row Arrow batch instead of once per host —
+at 2000 hosts/round that is ~60 batch calls instead of 2000 group calls
+(measured 5.5s → sub-second at the sf0.1 tier).
 
-Spans travel back to the JVM as Arrow list<struct> — verified lossless on
-Spark 4.1.2 (SURVEY.md §8 hard-part c).
+In-sandbox the body is the deterministic fetch simulator (fetch_spec.py);
+production swap-in: an async HTTP client inside the same iterator function.
+Spans return to the JVM as Arrow list<struct> — verified lossless on Spark
+4.1.2 (SURVEY.md §8 hard-part c).
 """
 
 from __future__ import annotations
+
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -23,25 +31,31 @@ from .schemas import DOCUMENTS
 
 
 def fetch_selected(
-    selected: DataFrame, round_: int, spec: fetch_spec.FetchSpec
+    selected: DataFrame,
+    round_: int,
+    spec: fetch_spec.FetchSpec,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """selected (needs url, url_hash, host_hash, salt) → DOCUMENTS rows."""
+    n = parallelism or selected.sparkSession.sparkContext.defaultParallelism
 
-    def fetch_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        urls = pdf["url"].tolist()
-        hashes = pdf["url_hash"].tolist()
-        out = {"doc_id": [], "url": [], "fetch_round": [], "status": [], "spans": []}
-        for url, url_hash in zip(urls, hashes):
-            status, spans = fetch_spec.simulate_fetch(url, spec)
-            out["doc_id"].append(fetch_spec.doc_id_of(url_hash))
-            out["url"].append(url)
-            out["fetch_round"].append(round_)
-            out["status"].append(status)
-            out["spans"].append(spans)
-        return pd.DataFrame(out)
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            hashes = pdf["url_hash"].tolist()
+            out = {"doc_id": [], "url": [], "fetch_round": [], "status": [], "spans": []}
+            for url, url_hash in zip(urls, hashes):
+                status, spans = fetch_spec.simulate_fetch(url, spec)
+                out["doc_id"].append(fetch_spec.doc_id_of(url_hash))
+                out["url"].append(url)
+                out["fetch_round"].append(round_)
+                out["status"].append(status)
+                out["spans"].append(spans)
+            yield pd.DataFrame(out)
 
     return (
         selected.select("url", "url_hash", "host_hash", "salt")
-        .groupBy("host_hash", "salt")
-        .applyInPandas(fetch_batch, DOCUMENTS)
+        .repartition(n, "host_hash", "salt")
+        .sortWithinPartitions("host_hash", "url_hash")
+        .mapInPandas(fetch_batches, DOCUMENTS)
     )

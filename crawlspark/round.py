@@ -19,19 +19,23 @@ Scale notes (the 10^10 design point):
 - every dim join (robots, host budgets, host stats, fetch-batch parents) is
   an explicit broadcast; the only all-data shuffles per round are the two
   scheduling windows (salted) and the candidate dedup/anti-join, all keyed
-  to spread by design (salt, url_hash).
+  to spread by design (salt, url_hash);
+- row counts piggyback on the snapshot writes via the Observation API —
+  a round is 7 Spark actions total (3 observed writes, the fetch write,
+  the bloom-partial collect, lineage + metrics writes), independent of
+  data volume.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from . import fetch as fetch_mod
 from . import ingest, metrics, parse, rank, seen as seen_mod
-from .bloom import BloomRegistry
+from .bloom import BloomRegistry, bloom_params
 from .config import CrawlConfig
 from .fetch_spec import DEFAULT_SPEC, FetchSpec
 from .io_tables import SnapshotStore
@@ -54,6 +58,10 @@ def _frontier_shape(df: DataFrame) -> DataFrame:
     return df.select(*[f.name for f in FRONTIER.fields])
 
 
+def _default_hosts(spec: FetchSpec) -> list[str]:
+    return [f"h{k}.example" for k in range(spec.n_hosts)]
+
+
 def init_crawl(
     spark: SparkSession,
     seeds_df: DataFrame,
@@ -64,16 +72,13 @@ def init_crawl(
 ) -> CrawlState:
     """Round-0 state: canonicalized+filtered seeds become frontier and seen."""
     store = SnapshotStore(spark, ckpt)
-    hosts = robots_hosts
-    if hosts is None:
-        hosts = [f"h{k}.example" for k in range(spec.n_hosts)]
-    robots_df = robots_table_df(spark, hosts)
+    robots_df = robots_table_df(spark, robots_hosts or _default_hosts(spec))
 
     seeds = seeds_df.select("url").withColumn("priority", F.lit(0)).withColumn(
         "crawl_depth", F.lit(0)
     )
     prepped = ingest.prepare_urls(seeds, cfg, robots_df)
-    deduped = ingest.dedup_candidates(prepped)
+    deduped = ingest.dedup_candidates(prepped).persist(StorageLevel.MEMORY_AND_DISK)
     frontier0 = _frontier_shape(
         deduped.withColumn("discovered_round", F.lit(0))
         .withColumn("not_before_round", F.lit(0))
@@ -83,8 +88,9 @@ def init_crawl(
     store.write(deduped.select("url_hash", "url", "bucket"), 0, "seen_delta")
 
     registry = BloomRegistry(fpp=cfg.bloom_fpp, initial_capacity=cfg.bloom_capacity_per_bucket)
-    _absorb_new_into_registry(spark, registry, store, 0, cfg)
+    _absorb_new_into_registry(deduped, registry, store, 0, cfg)
     _write_bloom(spark, store, registry, 0)
+    deduped.unpersist()
     store.commit_round(0, {"stage": "init"})
     return CrawlState(spark, store, cfg, spec, robots_df, registry, next_round=1)
 
@@ -101,10 +107,7 @@ def resume(
     last = store.last_complete_round()
     if last is None:
         raise ValueError(f"no committed rounds under {ckpt}")
-    hosts = robots_hosts
-    if hosts is None:
-        hosts = [f"h{k}.example" for k in range(spec.n_hosts)]
-    robots_df = robots_table_df(spark, hosts)
+    robots_df = robots_table_df(spark, robots_hosts or _default_hosts(spec))
     bloom_rows = store.read(last, "bloom").collect()
     registry = BloomRegistry.from_rows(
         [(r["bucket"], r["blob"], r["m_bits"], r["k_hashes"], r["n_items"]) for r in bloom_rows],
@@ -115,32 +118,28 @@ def resume(
 
 
 def _absorb_new_into_registry(
-    spark: SparkSession,
+    new_rows: DataFrame,
     registry: BloomRegistry,
     store: SnapshotStore,
     round_: int,
     cfg: CrawlConfig,
 ) -> None:
-    """Fold round `round_`'s seen_delta into the Bloom registry (U-4/A3):
-    distributed per-bucket partial blobs, driver-side OR, growth by rebuild."""
-    new_rows = store.read(round_, "seen_delta")
-    counts = {
-        int(r["bucket"]): int(r["n"])
-        for r in new_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if not counts:
-        return
-    grow = set(registry.buckets_needing_growth(counts))
+    """Fold the round's new hashes into the Bloom registry (U-4/A3):
+    distributed per-bucket partial blobs (one collect of ≤P small rows),
+    driver-side OR; a bucket that would overflow its capacity is rebuilt
+    from the exact seen table at ≥2× capacity (rare, amortized O(1)/key)."""
     params = {b: (f.m, f.k) for b, f in registry.filters.items()}
-    from .bloom import bloom_params
-
     default_params = bloom_params(cfg.bloom_capacity_per_bucket, cfg.bloom_fpp)
-    stay = new_rows
-    if grow:
-        stay = new_rows.filter(~F.col("bucket").isin(*[int(b) for b in grow]))
-    partials = seen_mod.partial_bloom_blobs(stay, params, default_params)
-    for row in partials.collect():
-        registry.get(int(row["bucket"])).absorb_blob(bytes(row["blob"]), int(row["n_items"]))
+    partials = seen_mod.partial_bloom_blobs(new_rows, params, default_params).collect()
+    if not partials:
+        return
+    counts = {int(r["bucket"]): int(r["n_items"]) for r in partials}
+    grow = set(registry.buckets_needing_growth(counts))
+    for row in partials:
+        b = int(row["bucket"])
+        if b in grow:
+            continue
+        registry.get(b).absorb_blob(bytes(row["blob"]), int(row["n_items"]))
     if grow:
         all_seen = store.read_seen(round_)
         pdf = (
@@ -169,9 +168,9 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     ordered = rank.with_seq(rank.cap_round(selected, cfg)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n_selected = ordered.count()
+    obs_sel = Observation()
     store.write(
-        ordered.select(
+        ordered.observe(obs_sel, F.count(F.lit(1)).alias("n")).select(
             F.lit(r).cast("int").alias("round"),
             "seq",
             "url",
@@ -181,6 +180,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         r,
         "crawl_order",
     )
+    n_selected = int(obs_sel.get["n"])
 
     # --- fetch (U-5) -> documents sink (S5) --------------------------------
     docs = fetch_mod.fetch_selected(ordered, r, st.spec)
@@ -188,18 +188,28 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     docs_r = store.read(r, "documents")  # re-read: fetch runs exactly once
 
     # --- parse (U-6) -> candidates -> new (J1) -----------------------------
+    # candidate_links already yields CANONICAL urls (fused resolve+canon)
     cands = parse.candidate_links(docs_r, ordered)
-    cands = ingest.prepare_urls(cands, cfg, st.robots_df)
-    cands = ingest.dedup_candidates(cands)
+    cands = ingest.with_hashes(cands, cfg)
+    cands = ingest.validity_filter(cands, cfg)
+    cands = ingest.robots_filter(cands, st.robots_df)
+    cands = ingest.dedup_candidates(cands).persist(StorageLevel.MEMORY_AND_DISK)
     seen_df = store.read_seen(r - 1)
     payload = st.registry.broadcast_payload() if cfg.use_bloom_prefilter else None
     bcast = spark.sparkContext.broadcast(payload) if payload is not None else None
     new = seen_mod.filter_new(cands, seen_df, bcast, cfg).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    n_new = new.count()
-    store.write(new.select("url_hash", "url", "bucket"), r, "seen_delta")
-    _absorb_new_into_registry(spark, st.registry, store, r, cfg)
+    obs_new = Observation()
+    store.write(
+        new.observe(obs_new, F.count(F.lit(1)).alias("n")).select(
+            "url_hash", "url", "bucket"
+        ),
+        r,
+        "seen_delta",
+    )
+    n_new = int(obs_new.get["n"])
+    _absorb_new_into_registry(new, st.registry, store, r, cfg)
     _write_bloom(spark, store, st.registry, r)
 
     # --- frontier advance (U1/U2 + W3 deferral) ----------------------------
@@ -231,8 +241,11 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         .unionByName(_frontier_shape(ineligible))
         .unionByName(_frontier_shape(new_frontier_rows))
     )
-    store.write(frontier_next, r, "frontier")
-    n_frontier = store.read(r, "frontier").count()
+    obs_fr = Observation()
+    store.write(
+        frontier_next.observe(obs_fr, F.count(F.lit(1)).alias("n")), r, "frontier"
+    )
+    n_frontier = int(obs_fr.get["n"])
 
     # --- lineage + metrics (S9/A4) -----------------------------------------
     lineage = metrics.partition_lineage(ordered, r, "selected").unionByName(
@@ -245,6 +258,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         r, {"selected": n_selected, "new": n_new, "frontier": n_frontier}
     )
     ordered.unpersist()
+    cands.unpersist()
     new.unpersist()
     if bcast is not None:
         bcast.unpersist()

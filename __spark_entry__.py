@@ -343,6 +343,83 @@ def _q_fetch_documents(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# queries — training-data ops (dedup / text analysis / similarity) on the
+# driver's documents + embeddings tables (crawlspark/textops.py, simsearch.py)
+# ---------------------------------------------------------------------------
+
+def _q_exact_dedup(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.exact_dedup(_tpch(spark, sf_dir, "documents"))
+
+
+def _q_minhash_sig(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.minhash_signatures(_tpch(spark, sf_dir, "documents"))
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.lsh_candidate_pairs(_tpch(spark, sf_dir, "documents"))
+
+
+def _q_simhash(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.simhash(_tpch(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.ngram_jaccard_adjacent(_tpch(spark, sf_dir, "documents"))
+
+
+def _q_token_stats(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.token_stats(_tpch(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.lang_scores(_tpch(spark, sf_dir, "documents"))
+
+
+def _q_quality_score(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.quality_score(_tpch(spark, sf_dir, "documents"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.doc_fingerprint(_tpch(spark, sf_dir, "documents"))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from crawlspark import simsearch
+
+    return simsearch.ann_bruteforce_topk(_tpch(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from crawlspark import simsearch
+
+    return simsearch.ann_lsh_topk(_tpch(spark, sf_dir, "embeddings"))
+
+
+def _q_embed_neardup(spark, sf_dir):
+    from crawlspark import simsearch
+
+    return simsearch.embedding_neardup_pairs(_tpch(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_extract": _q_link_extract,
@@ -362,6 +439,210 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_orders_topk": _q_tpch_orders_topk,
         "canon_urls": _q_canon_urls,
         "fetch_documents": _q_fetch_documents,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_sig": _q_minhash_sig,
+        "lsh_pairs": _q_lsh_pairs,
+        "simhash_docs": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "token_stats": _q_token_stats,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "embed_neardup": _q_embed_neardup,
+    }
+
+
+# -- DuckDB oracle builders for the textops family (shared constants from
+# crawlspark.textops keep both sides in lockstep) ---------------------------
+
+_WORDS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _sh_sql(n: int, ws: str = "ws") -> str:
+    parts = " || ' ' || ".join(f"{ws}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({ws}) >= {n} THEN "
+        f"[{parts} for i in generate_series(1, len({ws}) - {n - 1})] "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def _minhash_cte() -> str:
+    from crawlspark.textops import MINHASH_K
+
+    sigs = ", ".join(
+        f"MIN(md5(shingle || '#{i}')) AS sig_{i}" for i in range(MINHASH_K)
+    )
+    return f"""
+        w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        s AS (SELECT doc_id, {_sh_sql(3)} AS sh FROM w),
+        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        sig AS (SELECT doc_id, {sigs} FROM e GROUP BY doc_id)
+    """
+
+
+def _simhash_sql() -> str:
+    from crawlspark.textops import SIMHASH_BITS
+
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    final = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM e),
+        a AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, {final} AS simhash FROM a
+    """
+
+
+def _lang_sql() -> str:
+    from crawlspark.textops import LANGS, STOPWORDS
+
+    score_cols = ", ".join(
+        "len(list_intersect(ws, ["
+        + ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        + f"])) AS s_{lang}"
+        for lang in LANGS
+    )
+    cases = " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{lang} >= s_{other}" for other in LANGS)
+        + f" THEN '{lang}'"
+        for lang in LANGS
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        sc AS (SELECT doc_id, {score_cols} FROM w)
+        SELECT doc_id, s_en, s_de, s_fr, s_es, CASE {cases} END AS predicted_lang FROM sc
+    """
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_inner_product({a}, {b}) / "
+        f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+    )
+
+
+def _textops_oracle_sql() -> dict[str, str]:
+    from crawlspark.textops import LSH_BANDS, MINHASH_K, STOPWORDS, TOKEN_REGEX
+
+    rows = MINHASH_K // LSH_BANDS
+    band_exprs = ", ".join(
+        "STRUCT_PACK(band_idx := {b}, band_hash := md5(concat_ws('|', {cols})))".format(
+            b=b, cols=", ".join(f"sig_{b * rows + j}" for j in range(rows))
+        )
+        for b in range(LSH_BANDS)
+    )
+    stop_all = sorted({s for lst in STOPWORDS.values() for s in lst})
+    stop_lit = ", ".join(f"'{s}'" for s in stop_all)
+    return {
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS rep_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+            """,
+        "minhash_sig": f"WITH {_minhash_cte()} SELECT * FROM sig",
+        "lsh_pairs": f"""
+            WITH {_minhash_cte()},
+            banded AS (
+              SELECT doc_id, b.band_idx AS band_idx, b.band_hash AS band_hash
+              FROM (SELECT doc_id, unnest([{band_exprs}]) AS b FROM sig)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+            """,
+        "simhash_docs": _simhash_sql(),
+        "ngram_jaccard": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            g AS (SELECT doc_id, list_distinct({_sh_sql(3)}) AS grams FROM w)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(
+                     CASE WHEN (len(a.grams) + len(b.grams)
+                                - len(list_intersect(a.grams, b.grams))) > 0
+                          THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                               / (len(a.grams) + len(b.grams)
+                                  - len(list_intersect(a.grams, b.grams)))
+                          ELSE 0.0 END, 6) AS jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            """,
+        "token_stats": f"""
+            SELECT doc_id, len({_WORDS}) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '{TOKEN_REGEX}', 0)) AS n_regex_tokens
+            FROM documents
+            """,
+        "lang_id": _lang_sql(),
+        "quality_score": f"""
+            WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     len(regexp_extract_all(text, '[.,;:!?]', 0)) AS n_punct,
+                     len(list_intersect(ws, [{stop_lit}])) AS n_stop,
+                     CASE WHEN len(ws) > 0
+                          THEN CAST(length(text) AS DOUBLE) / len(ws)
+                          ELSE 0.0 END AS mwl
+              FROM w
+            )
+            SELECT doc_id, n_words, n_punct, n_stop,
+                   round(mwl, 6) AS mean_word_len,
+                   round(
+                     LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+                     + LEAST(CAST(n_stop AS DOUBLE) / 5.0, 1.0) * 0.3
+                     + CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 0.3 ELSE 0.0 END,
+                     6) AS quality
+            FROM m
+            """,
+        "doc_fingerprint": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            s AS (SELECT doc_id, unnest({_sh_sql(5)}) AS win FROM w)
+            SELECT doc_id, MIN(md5(win)) AS fingerprint FROM s GROUP BY doc_id
+            """,
+        "ann_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e ORDER BY vec_id LIMIT 5),
+            s AS (SELECT q_id, vec_id, {_cos_sql('q_emb', 'emb')} AS cos
+                  FROM q, e WHERE vec_id <> q_id),
+            r AS (SELECT q_id, vec_id, cos,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk
+                  FROM s)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10
+            """,
+        "ann_lsh": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                     {' + '.join(f'(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)' for i in range(8))} AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+                  FROM e ORDER BY vec_id LIMIT 5),
+            s AS (SELECT q_id, vec_id, {_cos_sql('q_emb', 'emb')} AS cos
+                  FROM q JOIN e ON e.bucket = q.q_bucket AND vec_id <> q_id),
+            r AS (SELECT q_id, vec_id, cos,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk
+                  FROM s)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10
+            """,
+        "embed_neardup": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id % 101 = 0)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_cos_sql('a.emb', 'b.emb')} AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_cos_sql('a.emb', 'b.emb')} >= 0.95
+            """,
     }
 
 
@@ -374,7 +655,8 @@ def oracle_sql() -> dict[str, str]:
     cnr = _fx_path("candidates_raw.parquet")
     see = _fx_path("seen.parquet")
     r = FIXTURE_ROUND
-    return {
+    out = _textops_oracle_sql()
+    out.update({
         "link_extract": f"""
             WITH f AS (
               SELECT doc_id,
@@ -499,4 +781,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
             """,
-    }
+    })
+    return out

@@ -1,0 +1,175 @@
+"""Fused candidate pipeline: one Arrow pass from exploded link spans to
+scheduled candidate rows (SURVEY.md §3.2 F1-F5 + §3.10 U-1/U-2/U-3/U-7
+fused; SPEC.md §6-9).
+
+The naive composition — resolve UDF → canon UDF → JVM hashes → robots
+broadcast join → robots UDF → bloom-probe UDF — crosses the JVM↔Python
+Arrow boundary three times and plans two joins per round. Since
+crawlspark.xxh64 is bit-exact with Spark's xxhash64 (tests/test_xxh64.py),
+the whole per-URL pipeline can run in ONE mapInPandas pass:
+
+    resolve → canonicalize → validity → host/url hashing → robots
+    longest-match (rules dict broadcast) → bucket → Bloom probe
+    (per-bucket blob payload broadcast)
+
+This is exactly the shape of heroshi's per-URL processing in the manager
+(one in-memory pass per reported link — recalled, SURVEY.md §0), expressed
+as a single vectorized stage. The JVM side keeps what the JVM is best at:
+span pruning + posexplode (order-preserving generator) and the broadcast
+join attaching parent priority/depth; the downstream dedup groupBy and the
+exact anti-join stay relational so Catalyst/AQE handle skew and sizing.
+
+Scale note: the robots dict for millions of hosts would be sliced per
+bucket like the Bloom payload; at the fixture scale (≤20k hosts) one dict
+is broadcast whole.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import bloom as bloom_mod
+from . import urlnorm
+from .config import CrawlConfig
+from .parse import extract_links
+from .robots import allowed as robots_allowed
+from .xxh64 import hash_str
+
+CANDIDATE_SCHEMA = (
+    "url string, url_hash long, host string, host_hash long, priority int, "
+    "crawl_depth int, bucket int, maybe_seen boolean"
+)
+
+
+def candidate_rows(
+    docs: DataFrame,
+    cfg: CrawlConfig,
+    robots_bcast,
+    bloom_bcast,
+) -> DataFrame:
+    """DOCUMENTS rows → deduped candidate rows with a `maybe_seen` Bloom
+    flag (A2 done; J1's exact tier still pending downstream).
+
+    No join needed: the documents snapshot carries parent_priority /
+    parent_depth through the fetch (schemas.DOCUMENTS), so the parse path
+    is scan → prune+explode → one Arrow pass → dedup. (An earlier version
+    joined back to the fetch batch — at round_capacity=None scale that
+    join shuffled/broadcast millions of rows per round for two ints.)"""
+    joined = extract_links(docs, carry=("parent_priority", "parent_depth")).select(
+        "base_url", "kind", "ref", "parent_priority", "parent_depth"
+    )
+
+    max_depth = cfg.max_depth
+    max_len = cfg.max_url_len
+    n_buckets = cfg.n_buckets
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rules = robots_bcast.value if robots_bcast is not None else {}
+        payload = bloom_bcast.value if bloom_bcast is not None else None
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "url": [], "url_hash": [], "host": [], "host_hash": [],
+                "priority": [], "crawl_depth": [], "bucket": [],
+            }
+            for base, kind, ref, pprio, pdepth in zip(
+                pdf["base_url"], pdf["kind"], pdf["ref"],
+                pdf["parent_priority"], pdf["parent_depth"],
+            ):
+                depth = int(pdepth) + 1
+                if depth > max_depth:
+                    continue
+                url = urlnorm.canon_url(urlnorm.resolve_url(base, ref))
+                if url is None or not urlnorm.is_valid_url(url, max_len):
+                    continue
+                host = urlnorm.host_of(url)
+                if not host:
+                    continue
+                rule = rules.get(host)
+                if rule is not None and not robots_allowed(
+                    urlnorm.path_of(url), rule[0], rule[1]
+                ):
+                    continue
+                uh = hash_str(url)
+                out["url"].append(url)
+                out["url_hash"].append(uh)
+                out["host"].append(host)
+                out["host_hash"].append(hash_str(host))
+                out["priority"].append(int(pprio) + (1 if kind == "link" else 2))
+                out["crawl_depth"].append(depth)
+                out["bucket"].append(uh % n_buckets)
+            res = pd.DataFrame(
+                {
+                    "url": pd.Series(out["url"], dtype="object"),
+                    "url_hash": pd.Series(out["url_hash"], dtype="int64"),
+                    "host": pd.Series(out["host"], dtype="object"),
+                    "host_hash": pd.Series(out["host_hash"], dtype="int64"),
+                    "priority": pd.Series(out["priority"], dtype="int32"),
+                    "crawl_depth": pd.Series(out["crawl_depth"], dtype="int32"),
+                    "bucket": pd.Series(out["bucket"], dtype="int32"),
+                }
+            )
+            if payload is None:
+                res["maybe_seen"] = True  # no filter ⇒ exact join decides
+            elif len(res) == 0:
+                res["maybe_seen"] = pd.Series([], dtype="bool")
+            else:
+                hashes = res["url_hash"].to_numpy()
+                buckets = res["bucket"].to_numpy()
+                flag = np.zeros(len(res), dtype=bool)
+                for b in np.unique(buckets):
+                    ent = payload.get(int(b))
+                    if ent is None:
+                        continue
+                    m, k, blob = ent
+                    selm = buckets == b
+                    flag[selm] = bloom_mod.probe_blob(hashes[selm], blob, m, k)
+                res["maybe_seen"] = flag
+            yield res
+
+    cands = joined.mapInPandas(process, CANDIDATE_SCHEMA)
+    # A2 dedup — deterministic winner; maybe_seen is functionally dependent
+    # on url_hash (same canonical url) so any aggregate works: use max.
+    return cands.groupBy("url_hash").agg(
+        F.min("url").alias("url"),
+        F.min("priority").alias("priority"),
+        F.min("crawl_depth").alias("crawl_depth"),
+        F.min("bucket").alias("bucket"),
+        F.min("host_hash").alias("host_hash"),
+        F.min("host").alias("host"),
+        F.max("maybe_seen").alias("maybe_seen"),
+    )
+
+
+def split_new(cands: DataFrame, seen: DataFrame | None) -> DataFrame:
+    """J1 exact tier on the pre-flagged candidates: definitely-new rows
+    bypass the join; maybe-seen rows anti-join the exact seen table."""
+    if seen is None:
+        return cands.drop("maybe_seen")
+    definitely = cands.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = cands.filter(F.col("maybe_seen")).drop("maybe_seen")
+    survived = maybe.hint("shuffle_hash").join(
+        seen.select("url_hash"), "url_hash", "left_anti"
+    )
+    return definitely.unionByName(survived)
+
+
+def robots_rules_map(robots_df) -> dict:
+    """{host: (allow_prefixes, disallow_prefixes)} for python-side broadcast
+    (io-worker's in-memory robots cache, SURVEY.md §3.1 S7).
+
+    Hosts with NO prefixes are pruned — absent host ⇒ fully allowed, so the
+    broadcast only carries rule-bearing hosts (~1/3 of the fixture universe;
+    at web scale this is the same reason robots caches only store hosts
+    whose robots.txt said anything)."""
+    out = {}
+    for r in robots_df.collect():
+        allow = list(r["allow_prefixes"] or [])
+        disallow = list(r["disallow_prefixes"] or [])
+        if allow or disallow:
+            out[r["host"]] = (allow, disallow)
+    return out

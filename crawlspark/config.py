@@ -15,7 +15,7 @@ class CrawlConfig:
     # politeness / scheduling
     max_fetches_per_host_per_round: int = 4   # B
     max_depth: int = 6                        # D
-    round_capacity: int = 2000                # K (global per-round cap)
+    round_capacity: int | None = 2000         # K (global per-round cap); None = uncapped
     hot_threshold: int = 64                   # H (pending count that triggers salting)
     max_salts: int = 16
     # seen-set layout

@@ -41,20 +41,25 @@ def fetch_selected(
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls = pdf["url"].tolist()
-            hashes = pdf["url_hash"].tolist()
-            out = {"doc_id": [], "url": [], "fetch_round": [], "status": [], "spans": []}
-            for url, url_hash in zip(urls, hashes):
+            out = {
+                "doc_id": [], "url": [], "fetch_round": [], "status": [],
+                "spans": [], "parent_priority": [], "parent_depth": [],
+            }
+            for url, url_hash, prio, depth in zip(
+                pdf["url"], pdf["url_hash"], pdf["priority"], pdf["crawl_depth"]
+            ):
                 status, spans = fetch_spec.simulate_fetch(url, spec)
                 out["doc_id"].append(fetch_spec.doc_id_of(url_hash))
                 out["url"].append(url)
                 out["fetch_round"].append(round_)
                 out["status"].append(status)
                 out["spans"].append(spans)
+                out["parent_priority"].append(int(prio))
+                out["parent_depth"].append(int(depth))
             yield pd.DataFrame(out)
 
     return (
-        selected.select("url", "url_hash", "host_hash", "salt")
+        selected.select("url", "url_hash", "host_hash", "salt", "priority", "crawl_depth")
         .repartition(n, "host_hash", "salt")
         .sortWithinPartitions("host_hash", "url_hash")
         .mapInPandas(fetch_batches, DOCUMENTS)

@@ -120,9 +120,13 @@ def materialize_fixtures(spark, sf_name: str, n_docs: int | None = None) -> str:
     res = simulate(seeds, cfg, spec, max_rounds=FIXTURE_ROUND)
 
     def entry_row(e):
+        from .robots import rules_for_host
+
+        delay = rules_for_host(e.host)[2]
+        budget = max(1, cfg.max_fetches_per_host_per_round // delay)
         return (
             e.url, e.url_hash, e.host, e.host_hash, e.priority, e.crawl_depth,
-            e.discovered_round, e.not_before_round, "pending",
+            e.discovered_round, e.not_before_round, "pending", budget, delay,
         )
 
     # frontier BEFORE round FIXTURE_ROUND (i.e. snapshot of round-1 end)

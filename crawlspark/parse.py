@@ -39,12 +39,13 @@ def resolve_canon(
         yield pd.Series([one(b, r) for b, r in zip(base, ref)], dtype="object")
 
 
-def extract_links(docs: DataFrame) -> DataFrame:
-    """DOCUMENTS rows → (base_url, pos, kind, anchor_text, ref, offset):
-    one row per link-bearing span of every status-200 doc, span order
-    preserved. Targets not yet resolved (pure JVM plan)."""
+def extract_links(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """DOCUMENTS rows → (base_url, [carry...], pos, kind, anchor_text, ref,
+    offset): one row per link-bearing span of every status-200 doc, span
+    order preserved. Targets not yet resolved (pure JVM plan)."""
     pruned = docs.filter(F.col("status") == 200).select(
         F.col("url").alias("base_url"),
+        *carry,
         F.filter(
             F.col("spans"),
             lambda s: s["kind"].isin(*LINK_KINDS) & s["media_ref"].isNotNull()
@@ -52,9 +53,10 @@ def extract_links(docs: DataFrame) -> DataFrame:
         ).alias("link_spans"),
     )
     return pruned.select(
-        "base_url", F.posexplode("link_spans").alias("pos", "s")
+        "base_url", *carry, F.posexplode("link_spans").alias("pos", "s")
     ).select(
         "base_url",
+        *carry,
         "pos",
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("anchor_text"),

@@ -59,29 +59,38 @@ def host_budgets(robots_df: DataFrame | None, cfg: CrawlConfig) -> DataFrame | N
     )
 
 
+def attach_host_budget(
+    df: DataFrame, robots_df: DataFrame | None, cfg: CrawlConfig
+) -> DataFrame:
+    """Attach host_budget/delay_slots columns (J3, run ONCE per row at
+    ingest — the scheduler then reads columns, not joins)."""
+    b = cfg.max_fetches_per_host_per_round
+    budgets = host_budgets(robots_df, cfg)
+    if budgets is None:
+        return df.withColumn("host_budget", F.lit(b).cast("int")).withColumn(
+            "delay_slots", F.lit(1).cast("int")
+        )
+    out = df.join(F.broadcast(budgets), df["host"] == budgets["_b_host"], "left").drop(
+        "_b_host"
+    )
+    return out.withColumn(
+        "host_budget", F.coalesce(F.col("host_budget"), F.lit(b)).cast("int")
+    ).withColumn("delay_slots", F.coalesce(F.col("delay_slots"), F.lit(1)).cast("int"))
+
+
 def select_batch(
     eligible: DataFrame, robots_df: DataFrame | None, cfg: CrawlConfig
 ) -> DataFrame:
     """Selected rows with columns `rank` (1..B_h) and `delay_slots`.
 
-    eligible: frontier rows with not_before_round <= round (already filtered).
+    eligible: frontier rows with not_before_round <= round (already
+    filtered), carrying host_budget/delay_slots columns (attach_host_budget
+    at ingest); rows without them (unit tests) get config defaults.
     """
-    b_default = cfg.max_fetches_per_host_per_round
     stats = host_stats(eligible, cfg).select("host_hash", "n_salts")
-    budgets = host_budgets(robots_df, cfg)
-
+    if "host_budget" not in eligible.columns:
+        eligible = attach_host_budget(eligible, robots_df, cfg)
     df = eligible.join(F.broadcast(stats), "host_hash", "left")
-    if budgets is not None:
-        df = df.join(F.broadcast(budgets), df["host"] == budgets["_b_host"], "left").drop(
-            "_b_host"
-        )
-        df = df.withColumn(
-            "host_budget", F.coalesce(F.col("host_budget"), F.lit(b_default))
-        ).withColumn("delay_slots", F.coalesce(F.col("delay_slots"), F.lit(1)))
-    else:
-        df = df.withColumn("host_budget", F.lit(b_default)).withColumn(
-            "delay_slots", F.lit(1)
-        )
 
     # F7: salt — engine-only parallelism lever, seed chain (url, 7L)
     df = df.withColumn(
@@ -108,21 +117,82 @@ def select_batch(
     return selected
 
 
+EMIT_ORDER = ("host_hash", "rank", "url")
+
+
 def cap_round(selected: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """O3: global per-round capacity K in deterministic emission order.
 
     orderBy+limit executes as TakeOrderedAndProject — no full sort
     materialization; the key (host_hash, rank, url) is total (url unique).
+    A None capacity disables the cap (and its extra stage) entirely.
     """
-    return selected.orderBy("host_hash", "rank", "url").limit(cfg.round_capacity)
+    if cfg.round_capacity is None:
+        return selected
+    return selected.orderBy(*EMIT_ORDER).limit(cfg.round_capacity)
 
 
-def with_seq(capped: DataFrame) -> DataFrame:
+def with_seq(capped: DataFrame, scalable: bool | None = None) -> DataFrame:
     """Crawl-order sequence numbers 0..n-1 in emission order (S10).
 
-    Single-partition window — bounded by K=round_capacity rows, never the
-    frontier (SURVEY.md §3.6 W5 caveat). For unbounded K the seq would be
-    derived at read time from the (host_hash, rank, url) sort key instead.
+    Two implementations with IDENTICAL output (tests/test_rank.py checks):
+
+    - window: `row_number` over a global-order window — one partition, fine
+      for capped rounds (≤ K rows; SURVEY.md §3.6 W5 caveat);
+    - scalable (default for uncapped rounds): range-partition on the
+      emission key, sort within partitions, then seq = partition offset +
+      local index — offsets come from one tiny per-partition count collect,
+      the heavy sort stays fully parallel. Range-bound sampling only moves
+      partition boundaries, never the total order, so output is
+      deterministic regardless of sampling.
     """
-    w = Window.orderBy("host_hash", "rank", "url")
-    return capped.withColumn("seq", (F.row_number().over(w) - 1).cast("long"))
+    if scalable is None:
+        scalable = False
+    if not scalable:
+        w = Window.orderBy(*EMIT_ORDER)
+        return capped.withColumn("seq", (F.row_number().over(w) - 1).cast("long"))
+
+    from pyspark.storagelevel import StorageLevel
+
+    part = (
+        capped.repartitionByRange(
+            max(capped.sparkSession.sparkContext.defaultParallelism, 2),
+            *[F.col(c) for c in EMIT_ORDER],
+        )
+        .sortWithinPartitions(*EMIT_ORDER)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )  # persisted so partition ids are identical in the sizes job and the
+    # assign job; caller unpersists via the _cs_cached attribute
+    sizes = {
+        r["pid"]: r["n"]
+        for r in part.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(part.schema.fields + [StructField("seq", LongType(), False)])
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["seq"] = range(base, base + len(pdf))
+            base += len(pdf)
+            yield pdf
+
+    res = part.mapInPandas(assign, out_schema)
+    res._cs_cached = part
+    return res

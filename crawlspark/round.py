@@ -33,8 +33,9 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from . import candidates as cand_mod
 from . import fetch as fetch_mod
-from . import ingest, metrics, parse, rank, seen as seen_mod
+from . import ingest, metrics, rank, seen as seen_mod
 from .bloom import BloomRegistry, bloom_params
 from .config import CrawlConfig
 from .fetch_spec import DEFAULT_SPEC, FetchSpec
@@ -52,6 +53,14 @@ class CrawlState:
     robots_df: DataFrame | None
     registry: BloomRegistry
     next_round: int
+    robots_rules_bcast: object | None = None
+
+    def rules_bcast(self):
+        if self.robots_rules_bcast is None and self.robots_df is not None:
+            self.robots_rules_bcast = self.spark.sparkContext.broadcast(
+                cand_mod.robots_rules_map(self.robots_df)
+            )
+        return self.robots_rules_bcast
 
 
 def _frontier_shape(df: DataFrame) -> DataFrame:
@@ -78,7 +87,9 @@ def init_crawl(
         "crawl_depth", F.lit(0)
     )
     prepped = ingest.prepare_urls(seeds, cfg, robots_df)
-    deduped = ingest.dedup_candidates(prepped).persist(StorageLevel.MEMORY_AND_DISK)
+    deduped = rank.attach_host_budget(
+        ingest.dedup_candidates(prepped), robots_df, cfg
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     frontier0 = _frontier_shape(
         deduped.withColumn("discovered_round", F.lit(0))
         .withColumn("not_before_round", F.lit(0))
@@ -158,6 +169,18 @@ def _write_bloom(spark, store, registry: BloomRegistry, round_: int) -> None:
 
 def crawl_round(st: CrawlState, r: int) -> dict:
     """Execute round r per SPEC.md; returns counters for the caller/bench."""
+    import os
+    import time
+
+    _timing = os.environ.get("CRAWLSPARK_TIMING") == "1"
+    _t = {"_last": time.perf_counter()}
+
+    def _tick(name: str) -> None:
+        if _timing:
+            now = time.perf_counter()
+            _t[name] = round(now - _t["_last"], 2)
+            _t["_last"] = now
+
     spark, store, cfg = st.spark, st.store, st.cfg
     frontier = store.read(r - 1, "frontier")
     eligible = frontier.filter(F.col("not_before_round") <= r)
@@ -165,9 +188,9 @@ def crawl_round(st: CrawlState, r: int) -> dict:
 
     # --- schedule (W1/W2 salted two-phase + O3 cap + S10 order) ------------
     selected = rank.select_batch(eligible, st.robots_df, cfg)
-    ordered = rank.with_seq(rank.cap_round(selected, cfg)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ordered = rank.with_seq(
+        rank.cap_round(selected, cfg), scalable=cfg.round_capacity is None
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     obs_sel = Observation()
     store.write(
         ordered.observe(obs_sel, F.count(F.lit(1)).alias("n")).select(
@@ -181,25 +204,22 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         "crawl_order",
     )
     n_selected = int(obs_sel.get["n"])
+    _tick("schedule")
 
     # --- fetch (U-5) -> documents sink (S5) --------------------------------
     docs = fetch_mod.fetch_selected(ordered, r, st.spec)
     store.write(docs, r, "documents")
     docs_r = store.read(r, "documents")  # re-read: fetch runs exactly once
+    _tick("fetch")
 
-    # --- parse (U-6) -> candidates -> new (J1) -----------------------------
-    # candidate_links already yields CANONICAL urls (fused resolve+canon)
-    cands = parse.candidate_links(docs_r, ordered)
-    cands = ingest.with_hashes(cands, cfg)
-    cands = ingest.validity_filter(cands, cfg)
-    cands = ingest.robots_filter(cands, st.robots_df)
-    cands = ingest.dedup_candidates(cands).persist(StorageLevel.MEMORY_AND_DISK)
+    # --- parse (U-6) -> candidates -> new (J1): single fused Arrow pass ----
     seen_df = store.read_seen(r - 1)
     payload = st.registry.broadcast_payload() if cfg.use_bloom_prefilter else None
     bcast = spark.sparkContext.broadcast(payload) if payload is not None else None
-    new = seen_mod.filter_new(cands, seen_df, bcast, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cands = cand_mod.candidate_rows(
+        docs_r, cfg, st.rules_bcast(), bcast
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new = cand_mod.split_new(cands, seen_df).persist(StorageLevel.MEMORY_AND_DISK)
     obs_new = Observation()
     store.write(
         new.observe(obs_new, F.count(F.lit(1)).alias("n")).select(
@@ -209,32 +229,24 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         "seen_delta",
     )
     n_new = int(obs_new.get["n"])
+    _tick("parse_dedup")
     _absorb_new_into_registry(new, st.registry, store, r, cfg)
     _write_bloom(spark, store, st.registry, r)
+    _tick("bloom")
 
     # --- frontier advance (U1/U2 + W3 deferral) ----------------------------
-    budgets = rank.host_budgets(st.robots_df, cfg)
-    deferred = eligible.join(ordered.select("url_hash"), "url_hash", "left_anti")
-    if budgets is not None:
-        deferred = (
-            deferred.join(
-                F.broadcast(budgets.select("_b_host", "delay_slots")),
-                deferred["host"] == F.col("_b_host"),
-                "left",
-            )
-            .drop("_b_host")
-            .withColumn(
-                "not_before_round",
-                (F.lit(r) + F.coalesce(F.col("delay_slots"), F.lit(1))).cast("int"),
-            )
-            .drop("delay_slots")
-        )
-    else:
-        deferred = deferred.withColumn("not_before_round", F.lit(r + 1).cast("int"))
-    new_frontier_rows = (
+    # delay_slots is a frontier column (attached at ingest) — no join here
+    deferred = eligible.join(
+        ordered.select("url_hash"), "url_hash", "left_anti"
+    ).withColumn(
+        "not_before_round", (F.lit(r) + F.col("delay_slots")).cast("int")
+    )
+    new_frontier_rows = rank.attach_host_budget(
         new.withColumn("discovered_round", F.lit(r))
         .withColumn("not_before_round", F.lit(r + 1))
-        .withColumn("state", F.lit("pending"))
+        .withColumn("state", F.lit("pending")),
+        st.robots_df,
+        cfg,
     )
     frontier_next = (
         _frontier_shape(deferred)
@@ -246,6 +258,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         frontier_next.observe(obs_fr, F.count(F.lit(1)).alias("n")), r, "frontier"
     )
     n_frontier = int(obs_fr.get["n"])
+    _tick("frontier")
 
     # --- lineage + metrics (S9/A4) -----------------------------------------
     lineage = metrics.partition_lineage(ordered, r, "selected").unionByName(
@@ -253,11 +266,18 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     )
     store.write(lineage, r, "lineage")
     store.write(metrics.fetch_metrics(docs_r, r), r, "metrics")
+    _tick("lineage_metrics")
+    if _timing:
+        _t.pop("_last", None)
+        print(f"[timing] round {r}: {_t}")
 
     store.commit_round(
         r, {"selected": n_selected, "new": n_new, "frontier": n_frontier}
     )
     ordered.unpersist()
+    inner = getattr(ordered, "_cs_cached", None)
+    if inner is not None:
+        inner.unpersist()
     cands.unpersist()
     new.unpersist()
     if bcast is not None:

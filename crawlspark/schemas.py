@@ -35,6 +35,11 @@ DOCUMENTS = StructType(
         StructField("fetch_round", IntegerType(), False),
         StructField("status", IntegerType(), False),
         StructField("spans", SPANS, True),
+        # request metadata carried through the fetch (io-worker result
+        # records carry the job's metadata the same way) — lets the parse
+        # path derive child priority/depth with NO join against the batch
+        StructField("parent_priority", IntegerType(), False),
+        StructField("parent_depth", IntegerType(), False),
     ]
 )
 
@@ -57,6 +62,11 @@ FRONTIER = StructType(
         StructField("discovered_round", IntegerType(), False),
         StructField("not_before_round", IntegerType(), False),
         StructField("state", StringType(), False),  # always 'pending'
+        # per-host politeness, attached ONCE at ingest (robots broadcast
+        # join on the new-rows delta) so the per-round scheduler reads
+        # columns instead of re-joining the whole frontier every round
+        StructField("host_budget", IntegerType(), False),
+        StructField("delay_slots", IntegerType(), False),
     ]
 )
 

@@ -1,0 +1,98 @@
+"""Structured Streaming surface (SURVEY.md §3.9) — the continuous-loop
+alternative to the batch round driver.
+
+Heroshi runs as a continuous fetch loop (recalled, SURVEY.md §0); the graft
+spec makes each round one DataFrame job, so the batch round loop in
+round.py is the PRIMARY architecture (deterministic, exact-resume). This
+module provides the Structured Streaming equivalents the spec inventory
+requires, wired to the same snapshot layout:
+
+- ST1 round/tumbling window: the per-round document dirs form a file
+  stream; `fetch_round` maps to a logical event time, windowed aggs roll
+  fetch metrics continuously.
+- ST2 stateful seen set: `dropDuplicatesWithinWatermark` on `url_hash`
+  gives the streaming dedup; the batch engine's per-bucket Bloom blobs are
+  the scale form of the same state (transformWithStateInPandas would hold
+  them keyed by bucket in a long-running job).
+- ST3 late data: links that arrive for already-fetched URLs simply lose the
+  dedup race — the watermark bounds how long state is retained.
+- ST4 exactly-once resume: checkpointLocation + the idempotent parquet
+  sink; the batch engine's manifest-committed round snapshots are the
+  equivalent.
+
+Everything here is exercised with Trigger.AvailableNow in
+tests/test_streaming.py so it runs (and terminates) in CI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schemas import DOCUMENTS
+
+
+def documents_stream(spark: SparkSession, ckpt_root: str) -> DataFrame:
+    """File-source stream over the per-round document snapshots (S6 as a
+    stream): new round dirs appear ⇒ new micro-batch."""
+    return (
+        spark.readStream.schema(DOCUMENTS)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{ckpt_root}/round=*/documents")
+    )
+
+
+def with_event_time(docs: DataFrame, seconds_per_round: int = 10) -> DataFrame:
+    """Logical event time from the round number (rounds are the only clock —
+    SURVEY.md §2 determinism rule; the epoch anchor is arbitrary but fixed)."""
+    return docs.withColumn(
+        "event_time",
+        F.timestamp_seconds(F.col("fetch_round").cast("long") * seconds_per_round),
+    )
+
+
+def streaming_fetch_metrics(
+    docs: DataFrame, seconds_per_round: int = 10, late: str = "30 seconds"
+) -> DataFrame:
+    """ST1+ST3: watermarked tumbling-window fetch metrics per status."""
+    w = with_event_time(docs, seconds_per_round).withWatermark("event_time", late)
+    return w.groupBy(
+        F.window("event_time", f"{seconds_per_round} seconds").alias("round_window"),
+        "status",
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.coalesce(F.size("spans"), F.lit(0))).alias("spans"),
+    ).select(
+        F.col("round_window.start").alias("window_start"),
+        "status",
+        "docs",
+        "spans",
+    )
+
+
+def streaming_url_dedup(
+    links: DataFrame, seconds_per_round: int = 10, late: str = "30 seconds"
+) -> DataFrame:
+    """ST2: streaming in-flight URL dedup on url_hash within the watermark
+    (the streaming analog of A2 + the seen anti-join's in-round tier)."""
+    return (
+        links.withWatermark("event_time", late)
+        .dropDuplicatesWithinWatermark(["url_hash"])
+    )
+
+
+def run_metrics_stream(
+    spark: SparkSession, ckpt_root: str, out_dir: str, checkpoint_dir: str
+):
+    """Materialize the windowed metrics with Trigger.AvailableNow (drains
+    whatever rounds exist, then stops — ST4 resume comes from the stream
+    checkpoint)."""
+    docs = documents_stream(spark, ckpt_root)
+    agg = streaming_fetch_metrics(docs)
+    return (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )

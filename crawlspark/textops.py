@@ -1,0 +1,243 @@
+"""Training-data text operations over the flat ``documents`` table:
+dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+Everything here is PURE JVM (built-in / higher-order functions — no Python
+UDFs): at 100 TB these run inside whole-stage codegen with map-side
+partial aggregation, and every operator has an exact DuckDB-SQL oracle in
+__spark_entry__.py. Hashing uses md5 (hex strings order-preserve the
+128-bit value, so lexicographic MIN is a valid MinHash) because md5 is the
+hash both engines share bit-for-bit.
+
+Scale notes:
+- MinHash: one explode + ONE groupBy with k min-aggregates (map-side
+  combine collapses each doc's shingles before the shuffle).
+- LSH banding: signature → band hashes → explode(bands) → self-join on
+  (band_idx, band_hash); the join key is pre-hashed so the shuffle is
+  uniform; candidate pairs deduped with distinct.
+- SimHash: explode words → 64 conditional-sum aggregates in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "für", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "pour"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "en", "un", "una"],
+}
+LANGS = ["en", "de", "fr", "es"]  # tie-break priority order
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+SIMHASH_BITS = 60  # md5-derived 60-bit space (15 hex chars)
+
+
+def words_col(text_col="text"):
+    """Non-empty lowercase whitespace tokens (split on single space,
+    empties filtered — identical semantics in the DuckDB oracle)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+
+
+def shingles_col(words, n: int = 3):
+    """Word n-gram shingles, [] when the doc is shorter than n words."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by full-text hash; deterministic representative."""
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-component MinHash over 3-word shingles: one explode + one groupBy
+    with k mins (hex-string min == 128-bit min ⇒ valid permutation family)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(words_col())).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing ≥1 signature band."""
+    sig = minhash_signatures(docs, k)
+    rows = k // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"sig_{b * rows + j}") for j in range(rows)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_cols).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: word hashes vote ±1 per bit; one explode + one
+    groupBy with `bits` conditional sums."""
+    def bit_sum(b: int):
+        return F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        )
+
+    exploded = docs.select("doc_id", F.explode(words_col()).alias("word"))
+    w = exploded.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    agg = w.groupBy("doc_id").agg(
+        *[bit_sum(b).alias(f"s_{b}") for b in range(bits)]
+    )
+    out = agg.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"s_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long"))
+                for b in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return out
+
+
+def ngram_jaccard_adjacent(docs: DataFrame) -> DataFrame:
+    """Exact 3-gram Jaccard for the (doc_id, doc_id+1) pair family —
+    the verification tier behind the LSH candidates."""
+    g = docs.select(
+        "doc_id", F.array_distinct(shingles_col(words_col())).alias("grams")
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per doc."""
+    return docs.select(
+        "doc_id",
+        F.size(words_col()).alias("n_ws_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{TOKEN_REGEX}', 0))").alias(
+            "n_regex_tokens"
+        ),
+    )
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    """Stopword-overlap language-ID heuristic with fixed tie-break order."""
+    w = docs.select("doc_id", words_col().alias("ws"))
+    scored = w.select(
+        "doc_id",
+        *[
+            F.size(
+                F.array_intersect(F.col("ws"), F.array(*[F.lit(s) for s in STOPWORDS[lang]]))
+            ).alias(f"s_{lang}")
+            for lang in LANGS
+        ],
+    )
+    pred = None
+    for lang in LANGS:
+        cond = None
+        for other in LANGS:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+        )
+    return scored.withColumn("predicted_lang", pred)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword heuristics → [0,1] quality score."""
+    ws = words_col()
+    n_words = F.size(ws)
+    n_chars = F.length("text")
+    n_punct = F.expr("size(regexp_extract_all(text, '[.,;:!?]', 0))")
+    stop_all = sorted({s for lst in STOPWORDS.values() for s in lst})
+    n_stop = F.size(F.array_intersect(ws, F.array(*[F.lit(s) for s in stop_all])))
+    mean_wl = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(n_stop.cast("double") / 5.0, F.lit(1.0)) * 0.3
+        + F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 0.3).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Winnowing-style fingerprint: min hash over 5-word rolling windows."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(words_col(), n=5)).alias("window")
+    )
+    return sh.groupBy("doc_id").agg(F.min(F.md5("window")).alias("fingerprint"))

@@ -27,6 +27,8 @@ def _frontier_rows(n_per_host: dict[str, int]):
                     0,
                     0,
                     "pending",
+                    4,              # host_budget
+                    1,              # delay_slots
                 )
             )
     return rows
@@ -48,7 +50,7 @@ def test_salted_equals_unsalted(spark):
 
     # salt-free definition, computed independently with plain python
     by_host: dict[int, list] = {}
-    for (url, uh, host, hh, prio, depth, _dr, _nb, _s) in rows:
+    for (url, uh, host, hh, prio, depth, _dr, _nb, _s, _hb, _ds) in rows:
         by_host.setdefault(hh, []).append((prio, depth, uh, url))
     want = []
     b = cfg.max_fetches_per_host_per_round
@@ -88,3 +90,13 @@ def test_cap_round_deterministic_prefix(spark):
     assert [(r["seq"], r["url"]) for r in sorted(capped, key=lambda r: r["seq"])] == [
         (r["seq"], r["url"]) for r in want
     ]
+
+
+def test_with_seq_scalable_matches_window(spark):
+    rows = _frontier_rows({f"h{i}.example": 7 for i in range(30)})
+    df = spark.createDataFrame(rows, FRONTIER)
+    cfg = CrawlConfig(round_capacity=None)
+    sel = rank.select_batch(df, None, cfg)
+    a = {(r["url"], r["seq"]) for r in rank.with_seq(sel, scalable=False).collect()}
+    b = {(r["url"], r["seq"]) for r in rank.with_seq(sel, scalable=True).collect()}
+    assert a == b

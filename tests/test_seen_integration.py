@@ -1,0 +1,73 @@
+"""J1 two-tier seen filtering: bloom-prefiltered result must equal the
+plain exact anti-join (exactness is unconditional), and the observed
+Bloom FPP stays near target (J6 FP-audit, SURVEY.md §3.3)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import seen as seen_mod
+from crawlspark.bloom import BloomRegistry
+from crawlspark.config import CrawlConfig
+from crawlspark.xxh64 import hash_str
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    cfg = CrawlConfig(n_buckets=16, bloom_capacity_per_bucket=4096)
+    seen_rows = []
+    reg = BloomRegistry(fpp=cfg.bloom_fpp, initial_capacity=cfg.bloom_capacity_per_bucket)
+    by_bucket = {}
+    for i in range(5000):
+        url = f"http://s{i % 40}.example/seen/{i}"
+        uh = hash_str(url)
+        b = uh % cfg.n_buckets
+        seen_rows.append((uh, url, b))
+        by_bucket.setdefault(b, []).append(uh)
+    for b, hashes in by_bucket.items():
+        reg.get(b).add(np.array(hashes, dtype=np.int64))
+    cand_rows = []
+    for i in range(3000):  # half overlap with seen
+        if i % 2 == 0:
+            url = f"http://s{i % 40}.example/seen/{i}"
+        else:
+            url = f"http://s{i % 40}.example/new/{i}"
+        uh = hash_str(url)
+        cand_rows.append((url, uh, uh % cfg.n_buckets))
+    seen_df = spark.createDataFrame(seen_rows, "url_hash long, url string, bucket int")
+    cands = spark.createDataFrame(cand_rows, "url string, url_hash long, bucket int")
+    return cfg, reg, seen_df, cands
+
+
+def test_bloom_filtered_equals_exact(spark, data):
+    cfg, reg, seen_df, cands = data
+    bcast = spark.sparkContext.broadcast(reg.broadcast_payload())
+    with_bloom = seen_mod.filter_new(cands, seen_df, bcast, cfg)
+    without = seen_mod.filter_new(
+        cands, seen_df, None, cfg.with_(use_bloom_prefilter=False)
+    )
+    a = sorted(r["url_hash"] for r in with_bloom.collect())
+    b = sorted(r["url_hash"] for r in without.collect())
+    assert a == b
+    # ground truth
+    seen_set = {r["url_hash"] for r in seen_df.collect()}
+    want = sorted(r["url_hash"] for r in cands.collect() if r["url_hash"] not in seen_set)
+    assert a == want
+
+
+def test_fp_audit_rate(spark, data):
+    """J6: rows bloom flags 'maybe seen' that the exact table disproves."""
+    cfg, reg, seen_df, cands = data
+    bcast = spark.sparkContext.broadcast(reg.broadcast_payload())
+    probe = seen_mod.maybe_seen_udf(bcast)
+    flagged = cands.withColumn("maybe", probe(F.col("bucket"), F.col("url_hash")))
+    maybe = flagged.filter(F.col("maybe"))
+    fp = maybe.join(seen_df.select("url_hash"), "url_hash", "left_anti").count()
+    true_new = cands.join(seen_df.select("url_hash"), "url_hash", "left_anti").count()
+    observed_fpp = fp / max(true_new, 1)
+    assert observed_fpp < 3 * cfg.bloom_fpp, observed_fpp
+    # and zero false negatives: every truly-seen row must be flagged
+    missed = flagged.filter(~F.col("maybe")).join(
+        seen_df.select("url_hash"), "url_hash", "left_semi"
+    ).count()
+    assert missed == 0

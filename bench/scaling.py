@@ -31,14 +31,20 @@ def make_zip() -> str:
 
 def run(cores: int, zpath: str, rounds: int, tier: str) -> dict:
     env = dict(os.environ)
+    # AQE is OFF for the scaling runs (same at both levels): its per-shuffle
+    # driver re-optimization is pure serial latency at local scale and
+    # measured -30% throughput; partition counts are set explicitly instead.
+    # On a real multi-executor cluster AQE goes back ON (engine default) —
+    # there its skew-split/coalesce pays for the planning cost.
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
         "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
-        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.adaptive.enabled=false",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
-        "--conf", "spark.driver.memory=16g",
+        "--conf", "spark.driver.memory=48g",
         "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
         "--py-files", zpath,
         os.path.join(REPO, "bench", "run_rounds.py"),
         "--rounds", str(rounds),

@@ -1,0 +1,86 @@
+"""spark-submit CLI for the crawl engine (SURVEY.md §8.M7).
+
+Packaging:  cd bench && python scaling.py  builds crawlspark.zip; or
+            zip -r crawlspark.zip crawlspark oracle
+
+Usage:
+  spark-submit --py-files crawlspark.zip -m crawlspark.cli  (or cli.py path)
+      init   --ckpt DIR --seeds FILE [--hosts N]
+      run    --ckpt DIR --rounds R [--hosts N]
+      resume --ckpt DIR --rounds R [--hosts N]
+      status --ckpt DIR
+
+Seeds file: one URL per line (heroshi's io-worker job-per-line convention).
+All scheduling is round-slot based; reruns of the same seed list and config
+are bit-identical (SPEC.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName("crawlspark").getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="crawlspark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("init", "run", "resume", "status"):
+        p = sub.add_parser(name)
+        p.add_argument("--ckpt", required=True)
+        if name == "init":
+            p.add_argument("--seeds", required=True)
+        if name in ("run", "resume"):
+            p.add_argument("--rounds", type=int, required=True)
+        p.add_argument("--hosts", type=int, default=50)
+        p.add_argument("--max-per-host", type=int, default=4)
+        p.add_argument("--capacity", type=int, default=0, help="0 = uncapped")
+    args = ap.parse_args(argv)
+
+    from crawlspark import round as rnd
+    from crawlspark.config import CrawlConfig
+    from crawlspark.fetch_spec import FetchSpec
+    from crawlspark.io_tables import SnapshotStore
+
+    spark = _spark()
+    spark.sparkContext.setLogLevel("WARN")
+    spec = FetchSpec(n_hosts=args.hosts)
+    cfg = CrawlConfig(
+        max_fetches_per_host_per_round=getattr(args, "max_per_host", 4),
+        round_capacity=(getattr(args, "capacity", 0) or None),
+    )
+
+    if args.cmd == "status":
+        store = SnapshotStore(spark, args.ckpt)
+        print(json.dumps(store.read_manifest(), indent=1))
+        return 0
+    if args.cmd == "init":
+        seeds_df = spark.read.text(args.seeds).withColumnRenamed("value", "url")
+        st = rnd.init_crawl(spark, seeds_df, cfg, spec, ckpt=args.ckpt)
+        print(json.dumps({"initialized": True, "next_round": st.next_round}))
+        return 0
+    if args.cmd == "run":
+        seedless = SnapshotStore(spark, args.ckpt).last_complete_round()
+        if seedless is None:
+            print("no init state — run `init` first", file=sys.stderr)
+            return 2
+        st = rnd.resume(spark, args.ckpt, cfg, spec)
+        infos = rnd.run_crawl(st, max_rounds=args.rounds)
+        print(json.dumps(infos))
+        return 0
+    if args.cmd == "resume":
+        st = rnd.resume(spark, args.ckpt, cfg, spec)
+        infos = rnd.run_crawl(st, max_rounds=args.rounds)
+        print(json.dumps(infos))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

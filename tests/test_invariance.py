@@ -1,0 +1,43 @@
+"""Parallelism invariance (SURVEY.md §6.2.5): the crawl's outputs must be
+bit-identical under different shuffle-partition counts — the property that
+makes the N-vs-4N scaling comparison apples-to-apples. (The cross-core
+check — local[8] vs local[32] — runs in bench/scaling.py via spark-submit
+and is recorded in BENCH/BASELINE.md.)"""
+
+import shutil
+
+from crawlspark import fixtures
+from crawlspark import round as rnd
+from crawlspark.config import CrawlConfig
+from crawlspark.fetch_spec import FetchSpec
+from crawlspark.schemas import SEEDS
+
+
+def _crawl_outputs(spark, ckpt, shuffle_partitions):
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        st = rnd.init_crawl(
+            spark,
+            spark.createDataFrame([(u,) for u in fixtures.seed_urls()], SEEDS),
+            CrawlConfig(),
+            FetchSpec(),
+            ckpt=ckpt,
+        )
+        rnd.run_crawl(st, max_rounds=2)
+        order = [
+            (r["round"], r["seq"], r["url"])
+            for r in rnd.read_crawl_order(st, 2).collect()
+        ]
+        seen = sorted(
+            (r["url_hash"], r["url"]) for r in rnd.read_final_seen(st, 2).collect()
+        )
+        return order, seen
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+def test_shuffle_partition_invariance(spark):
+    a = _crawl_outputs(spark, "/tmp/crawlspark-inv-a", 4)
+    b = _crawl_outputs(spark, "/tmp/crawlspark-inv-b", 17)
+    assert a == b

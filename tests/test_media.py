@@ -1,0 +1,49 @@
+"""Multimodal plumbing (crawlspark/media.py): schema/batching are real,
+decode is the documented stub — features, resize, frame-sampling, dedup
+must be deterministic and structurally correct."""
+
+from crawlspark import media
+
+
+def test_features_deterministic(spark):
+    df = media.synth_media_df(spark, 120)
+    feats = media.extract_features(df)
+    rows = {r["media_ref"]: r for r in feats.collect()}
+    assert len(rows) == 120
+    again = {r["media_ref"]: r for r in media.extract_features(df).collect()}
+    for ref in rows:
+        assert tuple(rows[ref]) == tuple(again[ref])
+    r = next(iter(rows.values()))
+    assert r["n_bytes"] > 16 and r["width"] >= 16 and "." in r["byte_mean"]
+
+
+def test_resize_rewrites_dims(spark):
+    df = media.synth_media_df(spark, 40)
+    resized = media.resize_stub(df, 64, 48)
+    feats = {r["media_ref"]: r for r in media.extract_features(resized).collect()}
+    assert all(r["width"] == 64 and r["height"] == 48 for r in feats.values())
+
+
+def test_frame_sampling_only_videos(spark):
+    df = media.synth_media_df(spark, 150)
+    frames = media.frame_sample_stub(df, every_n=5).collect()
+    assert len(frames) > 0
+    by_ref = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    kinds = {r["media_ref"]: r["media_type"] for r in df.collect()}
+    for ref, idxs in by_ref.items():
+        assert kinds[ref] == "video"
+        assert idxs == sorted(idxs) or sorted(idxs) == sorted(set(idxs))
+        assert all(i % 5 == 0 for i in idxs)
+
+
+def test_media_dedup(spark):
+    base = media.synth_media_rows(30)
+    dup = base + base[:7]  # 7 exact duplicate payloads under new refs
+    dup = base + [(f"{r}-copy", t, p, m) for (r, t, p, m) in base[:7]]
+    df = spark.createDataFrame(dup, media.MEDIA)
+    groups = media.media_exact_dedup(df).collect()
+    n2 = [g for g in groups if g["n_copies"] == 2]
+    assert len(n2) == 7
+    assert len(groups) == 30

@@ -81,13 +81,19 @@ def streaming_url_dedup(
 
 
 def run_metrics_stream(
-    spark: SparkSession, ckpt_root: str, out_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    ckpt_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    late: str = "0 seconds",
 ):
     """Materialize the windowed metrics with Trigger.AvailableNow (drains
     whatever rounds exist, then stops — ST4 resume comes from the stream
-    checkpoint)."""
+    checkpoint). Append mode emits a round's window only once the
+    watermark passes it — the LAST round's window stays open until a later
+    round arrives (exactly the late-data semantics of ST3)."""
     docs = documents_stream(spark, ckpt_root)
-    agg = streaming_fetch_metrics(docs)
+    agg = streaming_fetch_metrics(docs, late=late)
     return (
         agg.writeStream.outputMode("append")
         .trigger(availableNow=True)

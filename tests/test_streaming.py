@@ -48,7 +48,13 @@ def test_streaming_metrics_match_batch(spark):
         )
         .collect()
     }
-    assert got == want
+    # append mode emits only watermark-CLOSED windows: with a 0s delay,
+    # every round except the last is closed — the last window stays open
+    # awaiting later data (ST3 semantics). Compare the closed set.
+    max_round = max(k[0] for k in want)
+    want_closed = {k: v for k, v in want.items() if k[0] < max_round}
+    assert got == want_closed
+    assert all(k[0] == max_round for k in set(want) - set(want_closed))
 
 
 def test_streaming_dedup(spark):

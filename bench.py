@@ -38,8 +38,8 @@ def build_spark():
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName(f"crawlspark-bench-{SF_NAME}")
         .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "false")  # serial driver latency at local scale; ON for real clusters
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
@@ -56,7 +56,8 @@ def bench_crawl(spark) -> dict:
     spec = fixtures.spec_for_sf(SF_NAME)
     seeds = fixtures.seeds_for_sf(SF_NAME)
     cfg = CrawlConfig(
-        round_capacity=200_000,
+        max_fetches_per_host_per_round=16,
+        round_capacity=None,
         shuffle_partitions=max(CPUS, 8),
         n_buckets=64,
     )

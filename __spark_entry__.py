@@ -343,6 +343,88 @@ def _q_fetch_documents(spark, sf_dir):
     )
 
 
+def _q_hosts_with_pending(spark, sf_dir):
+    """J5: left-semi diagnostics — robots hosts that still have eligible
+    frontier rows."""
+    frontier = _read(spark, sf_dir, "frontier.parquet")
+    robots = _read(spark, sf_dir, "robots.parquet")
+    eligible = frontier.filter(F.col("not_before_round") <= FIXTURE_ROUND)
+    return robots.join(
+        eligible.select(F.col("host").alias("ehost")),
+        robots["host"] == F.col("ehost"),
+        "left_semi",
+    ).select("host", "crawl_delay_slots")
+
+
+def _q_url_intersect(spark, sf_dir):
+    """U3: overlap diagnostics — candidate hashes already in the seen set."""
+    cands = _read(spark, sf_dir, "candidates.parquet")
+    seen = _read(spark, sf_dir, "seen.parquet")
+    return cands.select("url_hash").intersect(seen.select("url_hash"))
+
+
+def _q_byte_budget_window(spark, sf_dir):
+    """W4: running-byte-budget frame spec — cumulative est_bytes per host in
+    rank order, cut at 4096 bytes."""
+    from pyspark.sql import Window
+
+    sel = _read(spark, sf_dir, "selected.parquet")
+    est = (F.length("url") * 8 + 256).cast("long")
+    w = (
+        Window.partitionBy("host_hash")
+        .orderBy("rank", "url")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sel.withColumn("est_bytes", est)
+        .withColumn("cum_bytes", F.sum("est_bytes").over(w))
+        .filter(F.col("cum_bytes") <= 4096)
+        .select("url", "rank", "est_bytes", "cum_bytes")
+    )
+
+
+def _q_json_roundtrip(spark, sf_dir):
+    """X7: io-worker-style JSON result records — pack selected rows to JSON
+    lines, parse back, project fields (lossless round-trip)."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    sel = _read(spark, sf_dir, "selected.parquet")
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("url_hash", LongType()),
+            StructField("priority", IntegerType()),
+            StructField("crawl_depth", IntegerType()),
+        ]
+    )
+    packed = sel.select(
+        F.to_json(F.struct("url", "url_hash", "priority", "crawl_depth")).alias("j")
+    )
+    return packed.select(F.from_json("j", schema).alias("r")).select(
+        F.col("r.url").alias("url"),
+        F.col("r.url_hash").alias("url_hash"),
+        F.col("r.priority").alias("priority"),
+        F.col("r.crawl_depth").alias("crawl_depth"),
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only): binary payloads → decoded metadata +
+    byte features via mapInPandas (crawlspark/media.py; decode stubbed)."""
+    from crawlspark import media
+
+    df = media.synth_media_df(spark, 500)
+    return media.extract_features(df)
+
+
+def _q_media_frame_sample(spark, sf_dir):
+    """Multimodal plumbing (rows-only): video frame sampling rows."""
+    from crawlspark import media
+
+    df = media.synth_media_df(spark, 500)
+    return media.frame_sample_stub(df, every_n=5)
+
+
 # ---------------------------------------------------------------------------
 # queries — training-data ops (dedup / text analysis / similarity) on the
 # driver's documents + embeddings tables (crawlspark/textops.py, simsearch.py)
@@ -439,6 +521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_orders_topk": _q_tpch_orders_topk,
         "canon_urls": _q_canon_urls,
         "fetch_documents": _q_fetch_documents,
+        "hosts_with_pending": _q_hosts_with_pending,
+        "url_intersect": _q_url_intersect,
+        "byte_budget_window": _q_byte_budget_window,
+        "json_roundtrip": _q_json_roundtrip,
+        "media_features": _q_media_features,
+        "media_frame_sample": _q_media_frame_sample,
         "exact_dedup": _q_exact_dedup,
         "minhash_sig": _q_minhash_sig,
         "lsh_pairs": _q_lsh_pairs,
@@ -734,6 +822,32 @@ def oracle_sql() -> dict[str, str]:
             """,
         "seen_digest": f"""
             SELECT COUNT(*) AS n, bit_xor(url_hash) AS digest FROM read_parquet('{see}')
+            """,
+        "hosts_with_pending": f"""
+            SELECT rb.host, rb.crawl_delay_slots FROM read_parquet('{rob}') rb
+            WHERE EXISTS (SELECT 1 FROM read_parquet('{fro}') f
+                          WHERE f.not_before_round <= {r} AND f.host = rb.host)
+            """,
+        "url_intersect": f"""
+            SELECT url_hash FROM read_parquet('{cnd}')
+            INTERSECT
+            SELECT url_hash FROM read_parquet('{see}')
+            """,
+        "byte_budget_window": f"""
+            WITH s AS (
+              SELECT url, rank, host_hash,
+                     CAST(length(url) * 8 + 256 AS BIGINT) AS est_bytes
+              FROM read_parquet('{sel}')
+            ), c AS (
+              SELECT url, rank, est_bytes,
+                     SUM(est_bytes) OVER (PARTITION BY host_hash ORDER BY rank, url
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+              FROM s
+            )
+            SELECT url, rank, est_bytes, cum_bytes FROM c WHERE cum_bytes <= 4096
+            """,
+        "json_roundtrip": f"""
+            SELECT url, url_hash, priority, crawl_depth FROM read_parquet('{sel}')
             """,
         "crawl_order_seq": f"""
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY host_hash, rank, url) - 1 AS BIGINT) AS seq,

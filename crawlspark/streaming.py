@@ -11,9 +11,12 @@ requires, wired to the same snapshot layout:
   stream; `fetch_round` maps to a logical event time, windowed aggs roll
   fetch metrics continuously.
 - ST2 stateful seen set: `dropDuplicatesWithinWatermark` on `url_hash`
-  gives the streaming dedup; the batch engine's per-bucket Bloom blobs are
-  the scale form of the same state (transformWithStateInPandas would hold
-  them keyed by bucket in a long-running job).
+  gives the watermark-bounded dedup, and `SeenSetProcessor` (below) is the
+  full custom stateful operator via transformWithStateInPandas, keyed by
+  bucket. NOTE: running TWS needs the `protobuf` python package (Spark's
+  state-server protocol) — absent in this container, so its test is
+  import-gated; the batch engine's per-bucket Bloom blobs are the same
+  state in batch form.
 - ST3 late data: links that arrive for already-fetched URLs simply lose the
   dedup race — the watermark bounds how long state is retained.
 - ST4 exactly-once resume: checkpointLocation + the idempotent parquet
@@ -77,6 +80,58 @@ def streaming_url_dedup(
     return (
         links.withWatermark("event_time", late)
         .dropDuplicatesWithinWatermark(["url_hash"])
+    )
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class SeenSetProcessor(StatefulProcessor):
+    """ST2 custom stateful operator: per-bucket URL-seen membership held in
+    transformWithStateInPandas state — the long-running-job form of the
+    batch engine's per-bucket Bloom + exact-table tier. Keyed by ``bucket``;
+    state = the bucket's exact set of url_hashes (ListState); emits only
+    first-seen rows. Requires the RocksDB state-store provider
+    (spark.sql.streaming.stateStore.providerClass)."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        self._hashes = handle.getListState(
+            "hashes", StructType([StructField("h", LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        seen = {r[0] for r in self._hashes.get()}
+        out_hash, out_url = [], []
+        added = []
+        for pdf in rows:
+            for h, u in zip(pdf["url_hash"], pdf["url"]):
+                h = int(h)
+                if h in seen:
+                    continue
+                seen.add(h)
+                added.append((h,))
+                out_hash.append(h)
+                out_url.append(u)
+        if added:
+            self._hashes.appendList(added)
+        yield pd.DataFrame({"url_hash": out_hash, "url": out_url})
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_seen_stream(links: DataFrame) -> DataFrame:
+    """Streaming URL-seen dedup via transformWithStateInPandas (Spark 4.x),
+    keyed by bucket (SURVEY.md §3.9 ST2). Input needs url_hash/url/bucket."""
+    return links.groupBy("bucket").transformWithStateInPandas(
+        statefulProcessor=SeenSetProcessor(),
+        outputStructType="url_hash long, url string",
+        outputMode="append",
+        timeMode="none",
     )
 
 

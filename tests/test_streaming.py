@@ -86,3 +86,62 @@ def test_streaming_dedup(spark):
     q.awaitTermination(120)
     got = sorted(r["url"] for r in spark.read.parquet(f"{d}/out").collect())
     assert got == ["http://a/1", "http://a/2"]
+
+
+def test_stateful_seen_processor(spark):
+    """ST2: transformWithStateInPandas custom stateful seen-set — dedup
+    across micro-batches with per-bucket state.
+
+    Skipped when `protobuf` is absent: Spark's transform_with_state driver
+    worker speaks a protobuf state-server protocol and this container ships
+    no `google.protobuf` (and installs are out of scope). The processor
+    implementation itself (crawlspark.streaming.SeenSetProcessor) is the
+    ST2 coverage; this test exercises it end-to-end where protobuf exists."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent in container)",
+    )
+    import tempfile
+
+    from crawlspark.streaming import stateful_seen_stream
+
+    d = tempfile.mkdtemp(prefix="cs-tws")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    rows1 = [(1, "http://a/1", 0), (2, "http://a/2", 1), (1, "http://a/1", 0)]
+    rows2 = [(1, "http://a/1", 0), (3, "http://a/3", 0)]
+    schema = "url_hash long, url string, bucket int"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(f"{d}/in")
+
+    def drain():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(f"{d}/in")
+        q = (
+            stateful_seen_stream(stream)
+            .writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{d}/ck")
+            .format("parquet")
+            .option("path", f"{d}/out")
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    got1 = sorted(r["url_hash"] for r in spark.read.parquet(f"{d}/out").collect())
+    assert got1 == [1, 2]
+    # second batch: 1 is already in state -> only 3 emitted
+    try:
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(f"{d}/in")
+        drain()
+        got2 = sorted(r["url_hash"] for r in spark.read.parquet(f"{d}/out").collect())
+        assert got2 == [1, 2, 3]
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

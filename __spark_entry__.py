@@ -408,6 +408,31 @@ def _q_json_roundtrip(spark, sf_dir):
     )
 
 
+def _q_bloom_roundtrip(spark, sf_dir):
+    """U-3/U-4/A3 (rows-only): distributed per-bucket Bloom build over the
+    seen fixture, broadcast, vectorized probe of the candidates — returns
+    per-bucket probe stats. Exactness not asserted here (the exact tier is
+    seen_antijoin); this exposes the approximate tier to the driver."""
+    import numpy as np
+
+    from crawlspark import seen as seen_mod
+    from crawlspark.bloom import BloomRegistry
+
+    seen = _read(spark, sf_dir, "seen.parquet")
+    cands = _read(spark, sf_dir, "candidates.parquet")
+    reg = BloomRegistry(fpp=0.01, initial_capacity=4096)
+    pdf = seen.select("bucket", "url_hash").toPandas()
+    for b, grp in pdf.groupby("bucket"):
+        reg.get(int(b)).add(grp["url_hash"].to_numpy())
+    bcast = spark.sparkContext.broadcast(reg.broadcast_payload())
+    probe = seen_mod.maybe_seen_udf(bcast)
+    flagged = cands.withColumn("maybe_seen", probe(F.col("bucket"), F.col("url_hash")))
+    return flagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_cands"),
+        F.sum(F.when(F.col("maybe_seen"), 1).otherwise(0)).alias("n_maybe"),
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing (rows-only): binary payloads → decoded metadata +
     byte features via mapInPandas (crawlspark/media.py; decode stubbed)."""
@@ -527,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": _q_json_roundtrip,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
+        "bloom_roundtrip": _q_bloom_roundtrip,
         "exact_dedup": _q_exact_dedup,
         "minhash_sig": _q_minhash_sig,
         "lsh_pairs": _q_lsh_pairs,

@@ -222,9 +222,13 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     new = cand_mod.split_new(cands, seen_df).persist(StorageLevel.MEMORY_AND_DISK)
     obs_new = Observation()
     store.write(
-        new.observe(obs_new, F.count(F.lit(1)).alias("n")).select(
-            "url_hash", "url", "bucket"
-        ),
+        # O2 layout: cluster the delta by bucket, sort by url_hash — keeps
+        # the append-only seen table physically partition-prunable by
+        # bucket (growth rebuilds, co-located anti-joins at scale)
+        new.observe(obs_new, F.count(F.lit(1)).alias("n"))
+        .select("url_hash", "url", "bucket")
+        .repartition(F.col("bucket"))
+        .sortWithinPartitions("url_hash"),
         r,
         "seen_delta",
     )

@@ -1,5 +1,7 @@
 """Golden canonicalization vectors + properties (SURVEY.md §6.2.1-2)."""
 
+import re
+
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -58,3 +60,20 @@ def test_host_path():
     assert is_valid_url("http://h0.example/")
     assert not is_valid_url("x" * 10)
     assert not is_valid_url("http://" + "y" * 3000)
+
+
+@given(st.text(alphabet="abcxyz019.-_~/:?#%ABC", max_size=60))
+@settings(max_examples=500, deadline=None)
+def test_fast_path_agrees_with_slow_path(s):
+    """Any URL the fast-path regex accepts must be a fixed point of the
+    full canonicalizer (run with the fast path disabled)."""
+    from crawlspark import urlnorm
+
+    for candidate in (f"http://h3.example/{s}", f"http://{s}/p/1", s):
+        if urlnorm._FAST_CANON.match(candidate):
+            m = urlnorm._FAST_CANON
+            try:
+                urlnorm._FAST_CANON = re.compile(r"(?!)")  # never matches
+                assert urlnorm.canon_url(candidate) == candidate, candidate
+            finally:
+                urlnorm._FAST_CANON = m

@@ -31,6 +31,7 @@ class CrawlConfig:
     # engine knobs (no effect on semantics)
     shuffle_partitions: int = 32
     use_bloom_prefilter: bool = True
+    fetch_arrow: bool = False  # measured: mapInPandas beats the flat-builder mapInArrow variant (BENCH notes)
 
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)

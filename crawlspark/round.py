@@ -207,7 +207,10 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     _tick("schedule")
 
     # --- fetch (U-5) -> documents sink (S5) --------------------------------
-    docs = fetch_mod.fetch_selected(ordered, r, st.spec)
+    fetch_fn = (
+        fetch_mod.fetch_selected if cfg.fetch_arrow else fetch_mod.fetch_selected_pandas
+    )
+    docs = fetch_fn(ordered, r, st.spec)
     store.write(docs, r, "documents")
     docs_r = store.read(r, "documents")  # re-read: fetch runs exactly once
     _tick("fetch")

@@ -300,6 +300,22 @@ def _q_events_rollup(spark, sf_dir):
     )
 
 
+def _q_tpch_revenue_topcust(spark, sf_dir):
+    """Join+agg analog (J4/A1 class on standard shapes): top-50 customers by
+    lineitem revenue, exact decimal accumulation, deterministic tie-break."""
+    li = _tpch(spark, sf_dir, "lineitem")
+    orders = _tpch(spark, sf_dir, "orders")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    j = li.join(orders.select("o_orderkey", "o_custkey"), li["l_orderkey"] == orders["o_orderkey"])
+    agg = j.groupBy("o_custkey").agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc()).limit(50)
+
+
 def _q_tpch_orders_topk(spark, sf_dir):
     """O3-analog: global deterministic top-k."""
     orders = _tpch(spark, sf_dir, "orders")
@@ -544,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_orders_per_cust": _q_tpch_top_orders_per_cust,
         "events_rollup": _q_events_rollup,
         "tpch_orders_topk": _q_tpch_orders_topk,
+        "tpch_revenue_topcust": _q_tpch_revenue_topcust,
         "canon_urls": _q_canon_urls,
         "fetch_documents": _q_fetch_documents,
         "hosts_with_pending": _q_hosts_with_pending,
@@ -920,6 +937,15 @@ def oracle_sql() -> dict[str, str]:
         "tpch_orders_topk": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+            """,
+        "tpch_revenue_topcust": """
+            SELECT o.o_custkey,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                        * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey
+            ORDER BY revenue DESC, o.o_custkey ASC LIMIT 50
             """,
     })
     return out

@@ -135,6 +135,38 @@ def stateful_seen_stream(links: DataFrame) -> DataFrame:
     )
 
 
+def stateful_seen_stream_legacy(links: DataFrame) -> DataFrame:
+    """ST2 via applyInPandasWithState (the Spark 3.x-era API — runs in this
+    container, unlike transformWithStateInPandas which needs protobuf):
+    per-bucket GroupState holds the bucket's url_hash set; only first-seen
+    rows are emitted. Semantics identical to SeenSetProcessor."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup(key, pdfs, state):
+        import pandas as pd
+
+        seen = set(state.get[0]) if state.exists else set()
+        out_h, out_u = [], []
+        for pdf in pdfs:
+            for h, u in zip(pdf["url_hash"], pdf["url"]):
+                h = int(h)
+                if h in seen:
+                    continue
+                seen.add(h)
+                out_h.append(h)
+                out_u.append(u)
+        state.update((list(seen),))
+        yield pd.DataFrame({"url_hash": out_h, "url": out_u})
+
+    return links.groupBy("bucket").applyInPandasWithState(
+        dedup,
+        outputStructType="url_hash long, url string",
+        stateStructType="hashes array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_metrics_stream(
     spark: SparkSession,
     ckpt_root: str,

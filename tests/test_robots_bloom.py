@@ -68,3 +68,25 @@ def test_bloom_membership_property(xs):
     m, k = bloom_params(max(len(arr), 16), 0.01)
     blob = build_blob(arr, m, k)
     assert probe_blob(arr, blob, m, k).all()
+
+
+WILDCARD_TABLE = [
+    # path, allow, disallow, expected — Google robots.txt spec examples
+    ("/fish.php", [], ["/fish*.php"], False),
+    ("/fishheads/catfish.php?p=1", [], ["/fish*.php"], False),
+    ("/Fish.PHP", [], ["/fish*.php"], True),          # case-sensitive
+    ("/filename.php", [], ["/*.php$"], False),
+    ("/filename.php?parameters", [], ["/*.php$"], True),  # $ anchors end
+    ("/filename.php/", [], ["/*.php$"], True),
+    ("/fish", [], ["/fish$"], False),
+    ("/fishing", [], ["/fish$"], True),
+    ("/x/page.htm", ["/x/page"], ["/*.htm"], True),    # allow rule is longer (7 > 6)
+    ("/page", ["/p"], ["/"], True),
+    ("/folder/page", ["/folder"], ["/folder"], True),  # tie -> allow
+    ("/page.htm", ["/page"], ["/*.htm"], False),       # /*.htm is longer
+]
+
+
+def test_robots_wildcard_table():
+    for path, allow, disallow, want in WILDCARD_TABLE:
+        assert allowed(path, allow, disallow) == want, (path, allow, disallow)

@@ -145,3 +145,42 @@ def test_stateful_seen_processor(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stateful_seen_legacy_api(spark):
+    """ST2 via applyInPandasWithState — runnable in this container: dedup
+    across two micro-batches with per-bucket GroupState."""
+    import tempfile
+
+    from crawlspark.streaming import stateful_seen_stream_legacy
+
+    d = tempfile.mkdtemp(prefix="cs-aips")
+    schema = "url_hash long, url string, bucket int"
+    spark.createDataFrame(
+        [(1, "http://a/1", 0), (2, "http://a/2", 1), (1, "http://a/1", 0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/in")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/in")
+        )
+        q = (
+            stateful_seen_stream_legacy(stream)
+            .writeStream.outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{d}/ck")
+            .format("parquet")
+            .option("path", f"{d}/out")
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert sorted(r["url_hash"] for r in spark.read.parquet(f"{d}/out").collect()) == [1, 2]
+    spark.createDataFrame(
+        [(1, "http://a/1", 0), (3, "http://a/3", 0)], schema
+    ).coalesce(1).write.mode("append").parquet(f"{d}/in")
+    drain()
+    assert sorted(r["url_hash"] for r in spark.read.parquet(f"{d}/out").collect()) == [1, 2, 3]

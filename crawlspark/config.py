@@ -31,7 +31,8 @@ class CrawlConfig:
     # engine knobs (no effect on semantics)
     shuffle_partitions: int = 32
     use_bloom_prefilter: bool = True
-    fetch_arrow: bool = False  # measured: mapInPandas beats the flat-builder mapInArrow variant (BENCH notes)
+    fetch_arrow: bool = False
+    compact_seen_every: int | None = None  # compact seen deltas every N rounds  # measured: mapInPandas beats the flat-builder mapInArrow variant (BENCH notes)
 
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)

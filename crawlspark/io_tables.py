@@ -6,6 +6,9 @@ directory-per-round parquet layout with a JSON manifest:
 
     <ckpt>/round=<r>/frontier/          full frontier AFTER round r
     <ckpt>/round=<r>/seen_delta/        seen rows ADDED in round r (O(batch) IO)
+    <ckpt>/round=<r>/seen_full/         compacted full seen set (optional;
+                                        bounds delta-union fan-in — the
+                                        Iceberg-compaction analog)
     <ckpt>/round=<r>/bloom/             per-bucket blob rows after round r
     <ckpt>/round=<r>/crawl_order/       ordered fetch batch of round r
     <ckpt>/round=<r>/documents/         docs fetched in round r
@@ -80,15 +83,50 @@ class SnapshotStore:
         return os.path.exists(os.path.join(self._dir(round_, table), "_SUCCESS"))
 
     def read_seen(self, upto_round: int) -> DataFrame | None:
-        """Union of seen deltas for rounds 0..upto_round (append-only set)."""
+        """The seen set at round upto_round: latest compacted snapshot ≤
+        upto_round (if any) + the deltas after it. Append-only, so this is
+        exact; compaction just bounds the number of unioned directories
+        (the parquet-engine analog of Iceberg snapshot compaction)."""
+        base = None
+        start = 0
+        c = self.last_compaction(upto_round)
+        if c is not None:
+            base = self.spark.read.parquet(self._dir(c, "seen_full"))
+            start = c + 1
         dirs = [
             self._dir(r, "seen_delta")
-            for r in range(upto_round + 1)
+            for r in range(start, upto_round + 1)
             if self.exists(r, "seen_delta")
         ]
         if not dirs:
-            return None
-        return self.spark.read.parquet(*dirs)
+            return base
+        deltas = self.spark.read.parquet(*dirs)
+        return deltas if base is None else base.unionByName(deltas)
+
+    def last_compaction(self, upto_round: int) -> int | None:
+        cs = [c for c in self.read_manifest().get("compactions", []) if c <= upto_round]
+        return max(cs) if cs else None
+
+    def compact_seen(self, upto_round: int) -> None:
+        """Materialize the full seen set at upto_round into one
+        bucket-clustered snapshot and record it in the manifest."""
+        from pyspark.sql import functions as F
+
+        seen = self.read_seen(upto_round)
+        if seen is None:
+            return
+        seen.repartition(F.col("bucket")).sortWithinPartitions("url_hash").write.mode(
+            "overwrite"
+        ).parquet(self._dir(upto_round, "seen_full"))
+        m = self.read_manifest()
+        m.setdefault("compactions", [])
+        if upto_round not in m["compactions"]:
+            m["compactions"].append(upto_round)
+            m["compactions"].sort()
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
 
     def read_all(self, table: str, upto_round: int) -> DataFrame | None:
         dirs = [
@@ -108,6 +146,8 @@ class SnapshotStore:
             m["round_info"] = {
                 k: v for k, v in m["round_info"].items() if int(k) <= round_
             }
+        if "compactions" in m:
+            m["compactions"] = [c for c in m["compactions"] if c <= round_]
         with open(self._manifest_path(), "w") as f:
             json.dump(m, f, indent=1)
 

@@ -299,6 +299,9 @@ def run_crawl(st: CrawlState, max_rounds: int) -> list[dict]:
     for r in range(st.next_round, max_rounds + 1):
         info = crawl_round(st, r)
         out.append(info)
+        every = st.cfg.compact_seen_every
+        if every and r % every == 0:
+            st.store.compact_seen(r)
         if info["frontier"] == 0:
             break
     return out

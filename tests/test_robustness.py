@@ -103,3 +103,26 @@ def test_parse_url_matches_host_of(spark):
     }
     for c in canon:
         assert got[c] == host_of(c), c
+
+
+def test_seen_compaction_equivalence(spark):
+    """Compaction is pure layout: outputs identical with and without it,
+    including across a resume that lands on a compacted snapshot."""
+    a = _outputs(spark, "/tmp/cs-rob-nocompact", CrawlConfig())
+    shutil.rmtree("/tmp/cs-rob-compact", ignore_errors=True)
+    st = rnd.init_crawl(
+        spark,
+        spark.createDataFrame([(u,) for u in fixtures.seed_urls()], SEEDS),
+        CrawlConfig(compact_seen_every=1),
+        FetchSpec(),
+        ckpt="/tmp/cs-rob-compact",
+    )
+    rnd.run_crawl(st, max_rounds=1)
+    st2 = rnd.resume(spark, "/tmp/cs-rob-compact", CrawlConfig(compact_seen_every=1), FetchSpec())
+    rnd.run_crawl(st2, max_rounds=2)
+    order = [
+        (r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st2, 2).collect()
+    ]
+    seen = sorted(r["url"] for r in rnd.read_final_seen(st2, 2).collect())
+    assert (order, seen) == a
+    assert st2.store.last_compaction(2) == 2

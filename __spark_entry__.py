@@ -429,17 +429,19 @@ def _q_bloom_roundtrip(spark, sf_dir):
     seen fixture, broadcast, vectorized probe of the candidates — returns
     per-bucket probe stats. Exactness not asserted here (the exact tier is
     seen_antijoin); this exposes the approximate tier to the driver."""
-    import numpy as np
-
     from crawlspark import seen as seen_mod
     from crawlspark.bloom import BloomRegistry
+    from crawlspark.bloom import bloom_params as _bloom_params
 
     seen = _read(spark, sf_dir, "seen.parquet")
     cands = _read(spark, sf_dir, "candidates.parquet")
     reg = BloomRegistry(fpp=0.01, initial_capacity=4096)
-    pdf = seen.select("bucket", "url_hash").toPandas()
-    for b, grp in pdf.groupby("bucket"):
-        reg.get(int(b)).add(grp["url_hash"].to_numpy())
+    # distributed build (the production path): per-bucket partial blobs on
+    # executors, driver only ORs <=P small rows
+    default_params = _bloom_params(4096, 0.01)
+    partials = seen_mod.partial_bloom_blobs(seen, {}, default_params).collect()
+    for row in partials:
+        reg.get(int(row["bucket"])).absorb_blob(bytes(row["blob"]), int(row["n_items"]))
     bcast = spark.sparkContext.broadcast(reg.broadcast_payload())
     probe = seen_mod.maybe_seen_udf(bcast)
     flagged = cands.withColumn("maybe_seen", probe(F.col("bucket"), F.col("url_hash")))
@@ -785,9 +787,39 @@ def oracle_sql() -> dict[str, str]:
     cnd = _fx_path("candidates.parquet")
     cnr = _fx_path("candidates_raw.parquet")
     see = _fx_path("seen.parquet")
+    # expected-output fixtures: the pure-Python cores the UDF queries wrap,
+    # run driver-side (no Spark) and materialized as parquet — so DuckDB
+    # checks the Spark/Arrow plumbing value-for-value (idempotent, additive)
+    from crawlspark import fixtures as _fixtures
+
+    _fixtures.materialize_expected_fixtures("sf0.01")
+
+    def _exp(name: str) -> str:
+        return os.path.join(_REPO, "fixtures", "sf0.01", name)
+
     r = FIXTURE_ROUND
     out = _textops_oracle_sql()
     out.update({
+        "canon_urls": f"""
+            SELECT url, canon_url FROM read_parquet('{_exp("expected_canon.parquet")}')
+            """,
+        "fetch_documents": f"""
+            SELECT doc_id, url, status, n_spans
+            FROM read_parquet('{_exp("expected_fetch_docs.parquet")}')
+            """,
+        "bloom_roundtrip": f"""
+            SELECT bucket, n_cands, n_maybe
+            FROM read_parquet('{_exp("expected_bloom_roundtrip.parquet")}')
+            """,
+        "media_features": f"""
+            SELECT media_ref, media_type, n_bytes, width, height, n_frames,
+                   byte_mean, content_hash
+            FROM read_parquet('{_exp("expected_media_features.parquet")}')
+            """,
+        "media_frame_sample": f"""
+            SELECT media_ref, frame_idx, frame_hash
+            FROM read_parquet('{_exp("expected_media_frames.parquet")}')
+            """,
         "link_extract": f"""
             WITH f AS (
               SELECT doc_id,
@@ -807,7 +839,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT COUNT(DISTINCT doc_id) AS n_docs,
                    COUNT(*) AS n_spans,
-                   SUM(CASE WHEN pos <> s.offset THEN 1 ELSE 0 END) AS n_violations
+                   CAST(SUM(CASE WHEN pos <> s.offset THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
             FROM e
             """,
         "host_rank_budget": f"""
@@ -883,8 +915,8 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{sel}')
             ), c AS (
               SELECT url, rank, est_bytes,
-                     SUM(est_bytes) OVER (PARTITION BY host_hash ORDER BY rank, url
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+                     CAST(SUM(est_bytes) OVER (PARTITION BY host_hash ORDER BY rank, url
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
               FROM s
             )
             SELECT url, rank, est_bytes, cum_bytes FROM c WHERE cum_bytes <= 4096

@@ -133,24 +133,24 @@ class BloomRegistry:
         self.filters[bucket] = f
 
     # -- snapshot (exact-resume state, SURVEY.md §3.1 S3) -------------------
-    def to_rows(self) -> list[tuple[int, bytes, int, int, int]]:
-        """Rows for the SEEN_BLOOM schema + capacity persisted in n_items'
-        sibling column order: (bucket, blob, m_bits, k_hashes, n_items)."""
+    def to_rows(self) -> list[tuple[int, bytes, int, int, int, int]]:
+        """Rows for the SEEN_BLOOM schema:
+        (bucket, blob, m_bits, k_hashes, n_items, capacity)."""
         return [
-            (b, f.bits.tobytes(), f.m, f.k, f.n) for b, f in sorted(self.filters.items())
+            (b, f.bits.tobytes(), f.m, f.k, f.n, f.capacity)
+            for b, f in sorted(self.filters.items())
         ]
 
     @classmethod
     def from_rows(
         cls, rows, fpp: float, initial_capacity: int
     ) -> "BloomRegistry":
+        """Rows are (bucket, blob, m, k, n, capacity); capacity is persisted
+        explicitly so resume reproduces growth/rebuild timing exactly."""
         reg = cls(fpp=fpp, initial_capacity=initial_capacity)
-        for bucket, blob, m, k, n in rows:
-            cap = initial_capacity
-            # recover capacity from m (inverse of bloom_params, conservative)
-            while bloom_params(cap * 2, fpp)[0] <= m:
-                cap *= 2
+        for bucket, blob, m, k, n, cap in rows:
             reg.filters[int(bucket)] = BucketFilter(
-                int(m), int(k), int(n), cap, np.frombuffer(bytes(blob), dtype=np.uint8).copy()
+                int(m), int(k), int(n), int(cap),
+                np.frombuffer(bytes(blob), dtype=np.uint8).copy(),
             )
         return reg

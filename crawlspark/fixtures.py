@@ -181,3 +181,170 @@ def materialize_fixtures(spark, sf_name: str, n_docs: int | None = None) -> str:
     with open(done, "w") as f:
         f.write("ok\n")
     return out
+
+
+def materialize_expected_fixtures(sf_name: str) -> str:
+    """Expected-output oracle fixtures for the driver queries whose engine
+    path crosses a pandas/Arrow UDF (canon_urls, fetch_documents,
+    bloom_roundtrip, media_features, media_frame_sample).
+
+    The SAME pure-Python cores the engine wraps (urlnorm.canon_url,
+    fetch_spec.simulate_fetch, media.features_of/frame_rows_of, bloom
+    build/probe) are executed driver-side — no Spark — and their results
+    written as plain parquet files that ``oracle_sql()`` reads back with
+    DuckDB ``read_parquet``. The comparison therefore verifies everything
+    Spark adds on top of the cores: Arrow serialization round-trips,
+    partitioning/batching, schema and null handling, filter placement.
+    Idempotent via a ``_DONE_EXPECTED`` marker (the base fixtures use
+    ``_DONE``; this function only ever ADDS files, so committed fixture
+    parquet is never rewritten)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import bloom, media, urlnorm
+    from .fetch_spec import doc_id_of, simulate_fetch
+
+    out = fixture_dir(sf_name)
+    done = os.path.join(out, "_DONE_EXPECTED")
+    if os.path.exists(done):
+        return out
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        raise FileNotFoundError(f"base fixtures missing under {out}")
+
+    def read_cols(name: str, cols: list[str]) -> dict[str, list]:
+        tbl = pq.read_table(os.path.join(out, name), columns=cols)
+        return {c: tbl.column(c).to_pylist() for c in cols}
+
+    # -- canon_urls: seeds -> (url, canon_url), invalid rows dropped --------
+    rows = [(u, urlnorm.canon_url(u)) for u in seeds_for_sf(sf_name)]
+    rows = [(u, c) for u, c in rows if c is not None]
+    pq.write_table(
+        pa.table(
+            {"url": [r[0] for r in rows], "canon_url": [r[1] for r in rows]},
+            schema=pa.schema([("url", pa.string()), ("canon_url", pa.string())]),
+        ),
+        os.path.join(out, "expected_canon.parquet"),
+    )
+
+    # -- fetch_documents: selected batch -> (doc_id, url, status, n_spans) --
+    spec = spec_for_sf(sf_name)
+    sel = read_cols("selected.parquet", ["url", "url_hash"])
+    doc_rows = []
+    for url, uh in zip(sel["url"], sel["url_hash"]):
+        status, spans = simulate_fetch(url, spec)
+        doc_rows.append(
+            (doc_id_of(uh), url, status, len(spans) if spans is not None else -1)
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in doc_rows],
+                "url": [r[1] for r in doc_rows],
+                "status": [r[2] for r in doc_rows],
+                "n_spans": [r[3] for r in doc_rows],
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("url", pa.string()),
+                    ("status", pa.int32()),
+                    ("n_spans", pa.int32()),
+                ]
+            ),
+        ),
+        os.path.join(out, "expected_fetch_docs.parquet"),
+    )
+
+    # -- bloom_roundtrip: per-bucket build over seen, probe candidates ------
+    seen = read_cols("seen.parquet", ["bucket", "url_hash"])
+    cands = read_cols("candidates.parquet", ["bucket", "url_hash"])
+    m, k = bloom.bloom_params(4096, 0.01)
+    blobs: dict[int, bytes] = {}
+    by_bucket: dict[int, list[int]] = {}
+    for b, uh in zip(seen["bucket"], seen["url_hash"]):
+        by_bucket.setdefault(int(b), []).append(uh)
+    for b, hashes in by_bucket.items():
+        blobs[b] = bloom.build_blob(np.asarray(hashes, dtype=np.int64), m, k)
+    stats: dict[int, list[int]] = {}
+    for b, uh in zip(cands["bucket"], cands["url_hash"]):
+        s = stats.setdefault(int(b), [0, 0])
+        s[0] += 1
+        blob = blobs.get(int(b))
+        if blob is not None and bool(
+            bloom.probe_blob(np.asarray([uh], dtype=np.int64), blob, m, k)[0]
+        ):
+            s[1] += 1
+    pq.write_table(
+        pa.table(
+            {
+                "bucket": sorted(stats),
+                "n_cands": [stats[b][0] for b in sorted(stats)],
+                "n_maybe": [stats[b][1] for b in sorted(stats)],
+            },
+            schema=pa.schema(
+                [
+                    ("bucket", pa.int32()),
+                    ("n_cands", pa.int64()),
+                    ("n_maybe", pa.int64()),
+                ]
+            ),
+        ),
+        os.path.join(out, "expected_bloom_roundtrip.parquet"),
+    )
+
+    # -- media features + frame sample over the synthetic media universe ----
+    mrows = media.synth_media_rows(500)
+    feats = [media.features_of(ref, kind, payload) for ref, kind, payload, _ in mrows]
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": [f[0] for f in feats],
+                "media_type": [f[1] for f in feats],
+                "n_bytes": [f[2] for f in feats],
+                "width": [f[3] for f in feats],
+                "height": [f[4] for f in feats],
+                "n_frames": [f[5] for f in feats],
+                "byte_mean": [f[6] for f in feats],
+                "content_hash": [f[7] for f in feats],
+            },
+            schema=pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("media_type", pa.string()),
+                    ("n_bytes", pa.int32()),
+                    ("width", pa.int32()),
+                    ("height", pa.int32()),
+                    ("n_frames", pa.int32()),
+                    ("byte_mean", pa.string()),
+                    ("content_hash", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(out, "expected_media_features.parquet"),
+    )
+    frames = [
+        t
+        for ref, _, payload, _ in mrows
+        for t in media.frame_rows_of(ref, payload, every_n=5)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": [f[0] for f in frames],
+                "frame_idx": [f[1] for f in frames],
+                "frame_hash": [f[2] for f in frames],
+            },
+            schema=pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("frame_idx", pa.int32()),
+                    ("frame_hash", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(out, "expected_media_frames.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out

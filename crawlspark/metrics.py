@@ -38,7 +38,11 @@ def fetch_metrics(docs: DataFrame, round_: int) -> DataFrame:
             F.lit(round_).alias("round"),
             F.xxhash64(F.parse_url("url", F.lit("HOST"))).alias("host_hash"),
             "status",
-            F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
+            # explicit NULL branch: with ANSI off, size(NULL) is -1, which
+            # coalesce would pass through and silently corrupt the sum
+            F.when(F.col("spans").isNull(), F.lit(0))
+            .otherwise(F.size("spans"))
+            .alias("n_spans"),
         )
         .groupBy("round", "host_hash", "status")
         .agg(

@@ -121,7 +121,10 @@ def resume(
     robots_df = robots_table_df(spark, robots_hosts or _default_hosts(spec))
     bloom_rows = store.read(last, "bloom").collect()
     registry = BloomRegistry.from_rows(
-        [(r["bucket"], r["blob"], r["m_bits"], r["k_hashes"], r["n_items"]) for r in bloom_rows],
+        [
+            (r["bucket"], r["blob"], r["m_bits"], r["k_hashes"], r["n_items"], r["capacity"])
+            for r in bloom_rows
+        ],
         fpp=cfg.bloom_fpp,
         initial_capacity=cfg.bloom_capacity_per_bucket,
     )

@@ -85,6 +85,10 @@ SEEN_BLOOM = StructType(
         StructField("m_bits", LongType(), False),
         StructField("k_hashes", IntegerType(), False),
         StructField("n_items", LongType(), False),
+        # persisted explicitly so a resumed run grows/rebuilds at the exact
+        # same points as a straight-through run (capacity is NOT derivable
+        # from m_bits after a rebuild() to an arbitrary 2*len(hashes))
+        StructField("capacity", LongType(), False),
     ]
 )
 

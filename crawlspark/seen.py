@@ -99,8 +99,11 @@ def partial_bloom_blobs(new_rows: DataFrame, params_by_bucket: dict[int, tuple[i
             }
         )
 
-    from .schemas import SEEN_BLOOM
-
+    # partial blobs have no capacity (that's registry state, not a property
+    # of one round's delta) — so not the persisted SEEN_BLOOM schema
+    partial_schema = (
+        "bucket int, blob binary, m_bits long, k_hashes int, n_items long"
+    )
     return new_rows.select("bucket", "url_hash").groupBy("bucket").applyInPandas(
-        build, SEEN_BLOOM
+        build, partial_schema
     )

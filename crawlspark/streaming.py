@@ -63,7 +63,9 @@ def streaming_fetch_metrics(
         "status",
     ).agg(
         F.count(F.lit(1)).alias("docs"),
-        F.sum(F.coalesce(F.size("spans"), F.lit(0))).alias("spans"),
+        F.sum(
+            F.when(F.col("spans").isNull(), F.lit(0)).otherwise(F.size("spans"))
+        ).alias("spans"),
     ).select(
         F.col("round_window.start").alias("window_start"),
         "status",

@@ -67,8 +67,10 @@ def test_query_matches_oracle(spark, duck, name):
     dc, dr = _canon_rows(d_cols, d_rows)
     assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
     assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
-    assert sr == dr, f"{name}: value mismatch (first diff: "
-    f"{next(((a, b) for a, b in zip(sr, dr) if a != b), None)})"
+    assert sr == dr, (
+        f"{name}: value mismatch (first diff: "
+        f"{next(((a, b) for a, b in zip(sr, dr) if a != b), None)})"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))

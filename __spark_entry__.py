@@ -545,6 +545,12 @@ def _q_embed_neardup(spark, sf_dir):
     return simsearch.embedding_neardup_pairs(_tpch(spark, sf_dir, "embeddings"))
 
 
+def _q_embed_neardup_allpairs(spark, sf_dir):
+    from crawlspark import simsearch
+
+    return simsearch.embedding_neardup_allpairs(_tpch(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_extract": _q_link_extract,
@@ -584,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "embed_neardup": _q_embed_neardup,
+        "embed_neardup_allpairs": _q_embed_neardup_allpairs,
     }
 
 
@@ -662,6 +669,37 @@ def _cos_sql(a: str, b: str) -> str:
     return (
         f"round(list_inner_product({a}, {b}) / "
         f"(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+    )
+
+
+def _plane_bit_sql(emb: str, plane: list[float]) -> str:
+    """Sign bit of the projection onto one hyperplane — same float literals
+    and same 6-place pre-rounding as crawlspark.simsearch._plane_bit, so
+    both engines make the identical bit decision."""
+    lits = ", ".join(repr(v) for v in plane)
+    return (
+        f"(CASE WHEN round(list_inner_product({emb}, [{lits}]), 6) > 0 "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+def _ann_table_sql(emb: str, table: int) -> str:
+    from crawlspark.simsearch import ANN_TABLE_BITS, ANN_TABLES, hyperplanes
+
+    planes = hyperplanes(ANN_TABLES * ANN_TABLE_BITS)
+    return " + ".join(
+        f"{_plane_bit_sql(emb, planes[table * ANN_TABLE_BITS + i])} * {1 << i}"
+        for i in range(ANN_TABLE_BITS)
+    )
+
+
+def _band_sql(emb: str, band: int) -> str:
+    from crawlspark.simsearch import NEARDUP_BAND_BITS, NEARDUP_BANDS, hyperplanes
+
+    planes = hyperplanes(NEARDUP_BANDS * NEARDUP_BAND_BITS)
+    return " + ".join(
+        f"{_plane_bit_sql(emb, planes[band * NEARDUP_BAND_BITS + i])} * {1 << i}"
+        for i in range(NEARDUP_BAND_BITS)
     )
 
 
@@ -753,15 +791,18 @@ def _textops_oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10
             """,
         "ann_lsh": f"""
-            WITH e AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                     {' + '.join(f'(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)' for i in range(8))} AS bucket
-              FROM embeddings
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            k AS (
+              {" UNION ALL ".join(f"SELECT vec_id, {_ann_table_sql('emb', t)} AS bkt, {t} AS tbl FROM e" for t in range(8))}
             ),
-            q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
-                  FROM e ORDER BY vec_id LIMIT 5),
-            s AS (SELECT q_id, vec_id, {_cos_sql('q_emb', 'emb')} AS cos
-                  FROM q JOIN e ON e.bucket = q.q_bucket AND vec_id <> q_id),
+            q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e ORDER BY vec_id LIMIT 5),
+            qk AS (SELECT q.q_id, k.tbl, k.bkt FROM q JOIN k ON k.vec_id = q.q_id),
+            c AS (SELECT DISTINCT qk.q_id, k.vec_id
+                  FROM qk JOIN k ON k.tbl = qk.tbl AND k.bkt = qk.bkt
+                  WHERE k.vec_id <> qk.q_id),
+            s AS (SELECT c.q_id, c.vec_id, {_cos_sql('q.q_emb', 'e.emb')} AS cos
+                  FROM c JOIN e ON e.vec_id = c.vec_id
+                         JOIN q ON q.q_id = c.q_id),
             r AS (SELECT q_id, vec_id, cos,
                          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                               ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk
@@ -769,6 +810,26 @@ def _textops_oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10
             """,
         "embed_neardup": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            k AS (
+              SELECT vec_id, emb, 0 AS band_idx, {_band_sql('emb', 0)} AS band_val FROM e
+              UNION ALL
+              SELECT vec_id, emb, 1, {_band_sql('emb', 1)} FROM e
+              UNION ALL
+              SELECT vec_id, emb, 2, {_band_sql('emb', 2)} FROM e
+              UNION ALL
+              SELECT vec_id, emb, 3, {_band_sql('emb', 3)} FROM e
+            ),
+            c AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM k a JOIN k b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                     AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, {_cos_sql('ea.emb', 'eb2.emb')} AS cos
+            FROM c JOIN e ea ON ea.vec_id = c.vec_a
+                   JOIN e eb2 ON eb2.vec_id = c.vec_b
+            WHERE {_cos_sql('ea.emb', 'eb2.emb')} >= 0.95
+            """,
+        "embed_neardup_allpairs": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                        FROM embeddings WHERE vec_id % 101 = 0)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -1,6 +1,6 @@
 """Similarity search over the ``embeddings`` table (vec_id, embedding:
-array<float>, label): brute-force cosine top-k (exact baseline) and an
-LSH-bucketed variant (the scale path).
+array<float>, label): brute-force cosine top-k (exact baseline / recall
+oracle) and LSH-bucketed variants (the scale paths).
 
 All JVM higher-order functions (`zip_with`/`aggregate`) — the dot products
 run inside codegen, no Python. Cosines are computed in double in array
@@ -8,18 +8,59 @@ index order (bit-reproducible; matches the DuckDB oracle's
 list_inner_product over DOUBLE[]), rounded to 6 places so rank tie-breaks
 are stable across engines.
 
-Scale path (ann_lsh_topk): random-hyperplane signs from md5-derived
-pseudo-hyperplanes bucket the vectors; a query only scans its own bucket —
-at 100 TB this turns the cross join into a bucket-pruned join with ~2^b
-fan-in reduction; the brute-force operator remains the recall oracle.
+Quantizer: signs of dot products against ``hyperplanes()`` — deterministic
+md5-derived pseudo-random hyperplanes over ALL dimensions (real embeddings
+are not axis-aligned, so raw-dimension signs would skew buckets; random
+projections balance them). The same float constants are inlined into the
+DuckDB oracle SQL, so both engines quantize identically; the sign test uses
+the 6-place-rounded dot on both sides to keep the bit decision engine-
+independent.
+
+Scale shapes:
+- ``ann_lsh_topk``: multi-table LSH — L independent hash tables of k sign
+  bits each; a query unions the candidates from its bucket in every table
+  (the classic recall amplifier: P[found] = 1-(1-p^k)^L). (L, k) is the
+  recall/cost dial: the defaults (8×4) are tuned for the 500-row test tier;
+  at 10^9 vectors you raise k (more, smaller buckets) and keep L — cost per
+  query stays O(L · bucket), never a scan. Brute force remains the recall
+  oracle.
+- ``embedding_neardup_pairs``: banded signatures (NEARDUP_BANDS bands of
+  NEARDUP_BAND_BITS sign bits; pairs collide if ANY band matches — the
+  MinHash-LSH band trick applied to hyperplane signs). The join is keyed on
+  (band_idx, band_val): no all-pairs product anywhere. A 0.99-cosine pair
+  disagrees on one plane with p≈0.045, so P[missed by all bands] ≈ 8e-4.
+  The sampled all-pairs variant is kept as the recall oracle.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 ANN_K = 10
 N_QUERIES = 5  # queries = lowest vec_ids, deterministic
+EMB_DIM = 64
+ANN_TABLES = 8         # L hash tables
+ANN_TABLE_BITS = 4     # k sign bits per table (16 buckets/table at test tier)
+NEARDUP_BANDS = 4
+NEARDUP_BAND_BITS = 4  # 16 planes total for the near-dup signature
+
+
+def hyperplanes(n_planes: int, dim: int = EMB_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is an
+    md5-derived uniform in [-1, 1). ``repr`` of these floats round-trips
+    exactly, so the identical constants can be inlined into DuckDB SQL."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"hp{p}#{d}".encode()).digest()[:8], "big"
+            )
+            row.append(h / 2**63 - 1.0)
+        out.append(row)
+    return out
 
 
 def _as_double(col):
@@ -43,10 +84,46 @@ def cosine_col(a, b):
     return _dot(ad, bd) / (_norm(ad) * _norm(bd))
 
 
+def _plane_bit(emb_d, plane: list[float]):
+    """1 if the (6-place-rounded) projection onto `plane` is positive.
+    Rounding before the sign test keeps the bit engine-independent."""
+    lit = F.array(*[F.lit(v) for v in plane])
+    return F.when(F.round(_dot(emb_d, lit), 6) > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_table_cols(emb_col, n_tables: int = ANN_TABLES, bits: int = ANN_TABLE_BITS) -> list:
+    """One sign-bucket id per hash table; table t packs the sign bits of
+    hyperplanes [t·bits, (t+1)·bits)."""
+    emb_d = _as_double(emb_col)
+    planes = hyperplanes(n_tables * bits)
+    out = []
+    for t in range(n_tables):
+        val = F.lit(0)
+        for i in range(bits):
+            val = val + _plane_bit(emb_d, planes[t * bits + i]) * F.lit(1 << i)
+        out.append(val)
+    return out
+
+
+def neardup_band_cols(emb_col) -> list:
+    """NEARDUP_BANDS band values, each packing NEARDUP_BAND_BITS sign bits."""
+    emb_d = _as_double(emb_col)
+    planes = hyperplanes(NEARDUP_BANDS * NEARDUP_BAND_BITS)
+    bands = []
+    for b in range(NEARDUP_BANDS):
+        val = F.lit(0)
+        for i in range(NEARDUP_BAND_BITS):
+            val = val + _plane_bit(emb_d, planes[b * NEARDUP_BAND_BITS + i]) * F.lit(1 << i)
+        bands.append(val)
+    return bands
+
+
 def ann_bruteforce_topk(
     emb: DataFrame, k: int = ANN_K, n_queries: int = N_QUERIES
 ) -> DataFrame:
-    """Exact cosine top-k per query vector (cross join baseline)."""
+    """Exact cosine top-k per query vector. INTENTIONALLY a broadcast-q
+    cross join: this is the recall oracle for a handful of queries, not a
+    serving path — ann_lsh_topk is the scale path."""
     q = emb.orderBy("vec_id").limit(n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -64,32 +141,54 @@ def ann_bruteforce_topk(
     )
 
 
-def lsh_signs(emb_col, n_planes: int = 8):
-    """Sign bits of the first n_planes dimensions (cheap deterministic
-    coarse quantizer; a production IVF would train centroids)."""
-    bucket = F.lit(0)
-    for i in range(n_planes):
-        bucket = bucket + F.when(
-            F.element_at(emb_col, i + 1).cast("double") > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    return bucket
-
-
-def ann_lsh_topk(emb: DataFrame, k: int = ANN_K, n_queries: int = N_QUERIES) -> DataFrame:
-    """Bucket-pruned ANN: candidates share the query's sign-bucket."""
-    withb = emb.withColumn("bucket", lsh_signs(F.col("embedding")))
-    q = withb.orderBy("vec_id").limit(n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    cands = F.broadcast(q).join(
-        withb, F.col("bucket") == F.col("q_bucket"), "inner"
-    ).filter(F.col("vec_id") != F.col("q_id"))
-    scored = cands.select(
-        "q_id",
+def _lsh_keyed(emb: DataFrame, n_tables: int, bits: int) -> DataFrame:
+    """(vec_id, tbl, bkt) — one row per vector per hash table."""
+    tables = lsh_table_cols(F.col("embedding"), n_tables, bits)
+    return emb.select(
         "vec_id",
-        F.round(cosine_col(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), tables[t].alias("bkt"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    k: int = ANN_K,
+    n_queries: int = N_QUERIES,
+    n_tables: int = ANN_TABLES,
+    bits: int = ANN_TABLE_BITS,
+) -> DataFrame:
+    """Multi-table LSH ANN: candidates = union over L tables of the query's
+    bucket, deduped on ids BEFORE scoring, exact cosine on the union only.
+    Join shape: keyed self-join on (tbl, bkt) with the tiny query side
+    broadcast — never a cross join."""
+    keyed = _lsh_keyed(emb, n_tables, bits)
+    q = emb.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qk = F.broadcast(
+        q.join(keyed, q["q_id"] == keyed["vec_id"]).select("q_id", "tbl", "bkt")
+    )
+    cand_ids = (
+        qk.join(keyed, ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand_ids.join(emb, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_col(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -99,11 +198,58 @@ def ann_lsh_topk(emb: DataFrame, k: int = ANN_K, n_queries: int = N_QUERIES) -> 
     )
 
 
-def embedding_neardup_pairs(
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-banded: vectors are
+    exploded into (band_idx, band_val) keys; the self-join is keyed on the
+    band — candidate volume is O(Σ bucket²) per band, never all-pairs.
+    Collisions are deduped on ids BEFORE the cosine so each candidate pair
+    is scored once."""
+    bands = neardup_band_cols(F.col("embedding"))
+    keyed = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), bands[b].alias("band_val"))
+                    for b in range(NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "embedding", F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_val").alias("band_val"))
+    a = keyed.select(
+        F.col("band_idx").alias("ai"), F.col("band_val").alias("av"),
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+    )
+    b = keyed.select(
+        F.col("band_idx").alias("bi"), F.col("band_val").alias("bv"),
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+    )
+    coll = a.join(
+        b,
+        (F.col("ai") == F.col("bi"))
+        & (F.col("av") == F.col("bv"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+    uniq = coll.groupBy("vec_a", "vec_b").agg(
+        F.first("emb_a").alias("emb_a"), F.first("emb_b").alias("emb_b")
+    )
+    return (
+        uniq.select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_allpairs(
     emb: DataFrame, threshold: float = 0.95, sample_mod: int = 101
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs on a deterministic subsample
-    (the pairwise tier of near-dup detection; LSH buckets prune at scale)."""
+    """Recall oracle for the banded variant: exact all-pairs cosine on a
+    deterministic subsample. NOT a scale path (O(n²) on the sample by
+    construction) — it exists to measure the banded variant's recall."""
     s = emb.filter(F.col("vec_id") % sample_mod == 0)
     a = s.alias("a")
     b = s.alias("b")

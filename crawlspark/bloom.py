@@ -71,6 +71,25 @@ def probe_blob(hashes: np.ndarray, blob: bytes, m: int, k: int) -> np.ndarray:
     return out
 
 
+def probe_chain(payloads: list[dict], buckets: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """OR of per-payload probes over (bucket, hash) arrays — the probe side
+    of the sliced broadcast chain (consolidated base + per-round deltas).
+    Never misses a key inserted into any link; FP rate <= the merged
+    filter's (separate probes can't see a key's k bits split across two
+    blobs, the merged blob can)."""
+    flag = np.zeros(len(hashes), dtype=bool)
+    for payload in payloads:
+        for b in np.unique(buckets):
+            ent = payload.get(int(b))
+            if ent is None:
+                continue
+            m, k, blob = ent
+            sel = (buckets == b) & ~flag
+            if sel.any():
+                flag[sel] = probe_blob(hashes[sel], blob, m, k)
+    return flag
+
+
 @dataclass
 class BucketFilter:
     m: int

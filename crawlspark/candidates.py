@@ -19,9 +19,18 @@ span pruning + posexplode (order-preserving generator) and the broadcast
 join attaching parent priority/depth; the downstream dedup groupBy and the
 exact anti-join stay relational so Catalyst/AQE handle skew and sizing.
 
-Scale note: the robots dict for millions of hosts would be sliced per
-bucket like the Bloom payload; at the fixture scale (≤20k hosts) one dict
-is broadcast whole.
+Scale notes:
+- Bloom payload: probed as a CHAIN of broadcasts (one consolidated base +
+  per-round deltas holding only changed buckets). Probing each link and
+  OR-ing the flags never misses an inserted key and has <= the FP rate of
+  the merged filter (a merged blob can set a key's k bits across two
+  sources; separate probes can't), so correctness is unchanged — the exact
+  anti-join decides anyway.
+- robots rules: two modes. Dict-broadcast inside the fused pass (default;
+  right up to ~10^6 rule hosts), or cfg.robots_relational — the Arrow pass
+  emits (host, path) untested and a broadcast JOIN against the robots dim +
+  vectorized U-7 UDF applies the filter relationally, so no driver-resident
+  python dict exists at any scale. Digest-equality tested.
 """
 
 from __future__ import annotations
@@ -44,20 +53,32 @@ CANDIDATE_SCHEMA = (
 )
 
 
+def _bloom_chain(bloom_bcast) -> list | None:
+    """Normalize None | single broadcast | list-of-broadcasts to a list."""
+    if bloom_bcast is None:
+        return None
+    if isinstance(bloom_bcast, (list, tuple)):
+        return list(bloom_bcast) or None
+    return [bloom_bcast]
+
+
 def candidate_rows(
     docs: DataFrame,
     cfg: CrawlConfig,
     robots_bcast,
     bloom_bcast,
+    robots_df: DataFrame | None = None,
 ) -> DataFrame:
     """DOCUMENTS rows → deduped candidate rows with a `maybe_seen` Bloom
     flag (A2 done; J1's exact tier still pending downstream).
 
-    No join needed: the documents snapshot carries parent_priority /
-    parent_depth through the fetch (schemas.DOCUMENTS), so the parse path
-    is scan → prune+explode → one Arrow pass → dedup. (An earlier version
-    joined back to the fetch batch — at round_capacity=None scale that
-    join shuffled/broadcast millions of rows per round for two ints.)"""
+    `bloom_bcast` may be a single broadcast or the sliced chain (base +
+    deltas). With cfg.robots_relational the robots filter moves out of the
+    Arrow pass into a broadcast join + vectorized UDF (pass robots_df).
+
+    No join needed for parent metadata: the documents snapshot carries
+    parent_priority / parent_depth through the fetch (schemas.DOCUMENTS),
+    so the parse path is scan → prune+explode → one Arrow pass → dedup."""
     joined = extract_links(docs, carry=("parent_priority", "parent_depth")).select(
         "base_url", "kind", "ref", "parent_priority", "parent_depth"
     )
@@ -65,17 +86,22 @@ def candidate_rows(
     max_depth = cfg.max_depth
     max_len = cfg.max_url_len
     n_buckets = cfg.n_buckets
+    relational = cfg.robots_relational and robots_df is not None
+    blooms = _bloom_chain(bloom_bcast)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rules = robots_bcast.value if robots_bcast is not None else {}
-        payload = bloom_bcast.value if bloom_bcast is not None else None
-        import numpy as np
+        rules = (
+            robots_bcast.value if (robots_bcast is not None and not relational) else {}
+        )
+        payloads = [b.value for b in blooms] if blooms is not None else None
 
         for pdf in batches:
             out = {
                 "url": [], "url_hash": [], "host": [], "host_hash": [],
                 "priority": [], "crawl_depth": [], "bucket": [],
             }
+            if relational:
+                out["path"] = []
             for base, kind, ref, pprio, pdepth in zip(
                 pdf["base_url"], pdf["kind"], pdf["ref"],
                 pdf["parent_priority"], pdf["parent_depth"],
@@ -89,11 +115,14 @@ def candidate_rows(
                 host = urlnorm.host_of(url)
                 if not host:
                     continue
-                rule = rules.get(host)
-                if rule is not None and not robots_allowed(
-                    urlnorm.path_of(url), rule[0], rule[1]
-                ):
-                    continue
+                if relational:
+                    out["path"].append(urlnorm.path_of(url))
+                else:
+                    rule = rules.get(host)
+                    if rule is not None and not robots_allowed(
+                        urlnorm.path_of(url), rule[0], rule[1]
+                    ):
+                        continue
                 uh = hash_str(url)
                 out["url"].append(url)
                 out["url_hash"].append(uh)
@@ -113,25 +142,40 @@ def candidate_rows(
                     "bucket": pd.Series(out["bucket"], dtype="int32"),
                 }
             )
-            if payload is None:
+            if relational:
+                res["path"] = pd.Series(out["path"], dtype="object")
+            if payloads is None:
                 res["maybe_seen"] = True  # no filter ⇒ exact join decides
             elif len(res) == 0:
                 res["maybe_seen"] = pd.Series([], dtype="bool")
             else:
-                hashes = res["url_hash"].to_numpy()
-                buckets = res["bucket"].to_numpy()
-                flag = np.zeros(len(res), dtype=bool)
-                for b in np.unique(buckets):
-                    ent = payload.get(int(b))
-                    if ent is None:
-                        continue
-                    m, k, blob = ent
-                    selm = buckets == b
-                    flag[selm] = bloom_mod.probe_blob(hashes[selm], blob, m, k)
-                res["maybe_seen"] = flag
+                res["maybe_seen"] = bloom_mod.probe_chain(
+                    payloads, res["bucket"].to_numpy(), res["url_hash"].to_numpy()
+                )
             yield res
 
-    cands = joined.mapInPandas(process, CANDIDATE_SCHEMA)
+    schema = CANDIDATE_SCHEMA + (", path string" if relational else "")
+    cands = joined.mapInPandas(process, schema)
+    if relational:
+        from .udfs import robots_allowed as robots_allowed_udf
+
+        rules_df = robots_df.select(
+            "host", "allow_prefixes", "disallow_prefixes"
+        ).filter(
+            (F.size("allow_prefixes") > 0) | (F.size("disallow_prefixes") > 0)
+        )
+        cands = (
+            cands.join(F.broadcast(rules_df), "host", "left")
+            .filter(
+                F.col("allow_prefixes").isNull()
+                | robots_allowed_udf(
+                    F.col("path"),
+                    F.col("allow_prefixes"),
+                    F.col("disallow_prefixes"),
+                )
+            )
+            .drop("path", "allow_prefixes", "disallow_prefixes")
+        )
     # A2 dedup — deterministic winner; maybe_seen is functionally dependent
     # on url_hash (same canonical url) so any aggregate works: use max.
     return cands.groupBy("url_hash").agg(

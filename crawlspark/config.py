@@ -31,6 +31,17 @@ class CrawlConfig:
     # engine knobs (no effect on semantics)
     shuffle_partitions: int = 32
     use_bloom_prefilter: bool = True
+    # Bloom broadcast slicing: per round only CHANGED buckets' partial blobs
+    # ship as a delta broadcast; the chain re-consolidates into one full
+    # broadcast every N deltas (and on any bucket rebuild). At the 10^10
+    # design point this turns ~1.2 GB/round of re-broadcast into
+    # O(changed buckets)/round.
+    bloom_rebroadcast_every: int = 8
+    # robots rules as a relational broadcast-join + vectorized UDF filter
+    # instead of a driver-resident python dict in the fused pass — the
+    # web-scale mode (millions of rule-bearing hosts don't fit one pickled
+    # closure). Identical output (digest-equality tested).
+    robots_relational: bool = False
     fetch_arrow: bool = False
     compact_seen_every: int | None = None  # compact seen deltas every N rounds  # measured: mapInPandas beats the flat-builder mapInArrow variant (BENCH notes)
 

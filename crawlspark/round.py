@@ -54,13 +54,37 @@ class CrawlState:
     registry: BloomRegistry
     next_round: int
     robots_rules_bcast: object | None = None
+    # sliced Bloom broadcast chain: one consolidated base + per-round deltas
+    # carrying ONLY the buckets that changed that round (item: 10^10 scale =
+    # ~1.2 GB payload; re-shipping it whole every round is the scale-killer)
+    bloom_base_bcast: object | None = None
+    bloom_delta_bcasts: list = None  # type: ignore[assignment]
+    last_bloom_delta_buckets: int | None = None  # None = full rebroadcast
+
+    def __post_init__(self):
+        if self.bloom_delta_bcasts is None:
+            self.bloom_delta_bcasts = []
 
     def rules_bcast(self):
+        if self.cfg.robots_relational:
+            return None  # robots applied relationally; no python dict exists
         if self.robots_rules_bcast is None and self.robots_df is not None:
             self.robots_rules_bcast = self.spark.sparkContext.broadcast(
                 cand_mod.robots_rules_map(self.robots_df)
             )
         return self.robots_rules_bcast
+
+    def bloom_broadcasts(self) -> list | None:
+        """The probe chain (base + deltas); lazily consolidates on first use
+        (fresh resume has only the registry)."""
+        if not self.cfg.use_bloom_prefilter:
+            return None
+        if self.bloom_base_bcast is None:
+            self.bloom_base_bcast = self.spark.sparkContext.broadcast(
+                self.registry.broadcast_payload()
+            )
+            self.bloom_delta_bcasts = []
+        return [self.bloom_base_bcast, *self.bloom_delta_bcasts]
 
 
 def _frontier_shape(df: DataFrame) -> DataFrame:
@@ -137,23 +161,30 @@ def _absorb_new_into_registry(
     store: SnapshotStore,
     round_: int,
     cfg: CrawlConfig,
-) -> None:
+) -> tuple[dict, bool]:
     """Fold the round's new hashes into the Bloom registry (U-4/A3):
     distributed per-bucket partial blobs (one collect of ≤P small rows),
     driver-side OR; a bucket that would overflow its capacity is rebuilt
-    from the exact seen table at ≥2× capacity (rare, amortized O(1)/key)."""
+    from the exact seen table at ≥2× capacity (rare, amortized O(1)/key).
+
+    Returns (delta_payload, grew): the per-bucket partial blobs of THIS
+    round's new hashes — exactly what the sliced broadcast ships — and
+    whether any bucket was rebuilt (rebuilds change (m,k), which invalidates
+    chain probing for that bucket, so the caller re-consolidates)."""
     params = {b: (f.m, f.k) for b, f in registry.filters.items()}
     default_params = bloom_params(cfg.bloom_capacity_per_bucket, cfg.bloom_fpp)
     partials = seen_mod.partial_bloom_blobs(new_rows, params, default_params).collect()
     if not partials:
-        return
+        return {}, False
     counts = {int(r["bucket"]): int(r["n_items"]) for r in partials}
     grow = set(registry.buckets_needing_growth(counts))
+    delta = {}
     for row in partials:
         b = int(row["bucket"])
         if b in grow:
             continue
         registry.get(b).absorb_blob(bytes(row["blob"]), int(row["n_items"]))
+        delta[b] = (int(row["m_bits"]), int(row["k_hashes"]), bytes(row["blob"]))
     if grow:
         all_seen = store.read_seen(round_)
         pdf = (
@@ -164,6 +195,31 @@ def _absorb_new_into_registry(
         for b in grow:
             hashes = pdf.loc[pdf["bucket"] == b, "url_hash"].to_numpy()
             registry.rebuild(int(b), hashes)
+    return delta, bool(grow)
+
+
+def _refresh_bloom_broadcast(st: CrawlState, delta: dict, grew: bool) -> None:
+    """Ship only what changed: append a delta broadcast of this round's
+    changed buckets, or re-consolidate to one full broadcast when a bucket
+    was rebuilt / the chain reached cfg.bloom_rebroadcast_every links
+    (LSM-style compaction of broadcasts). Superseded broadcasts are
+    unpersisted."""
+    if not st.cfg.use_bloom_prefilter:
+        return
+    sc = st.spark.sparkContext
+    chain_full = len(st.bloom_delta_bcasts) + 1 >= st.cfg.bloom_rebroadcast_every
+    if grew or chain_full or st.bloom_base_bcast is None:
+        for b in [st.bloom_base_bcast, *st.bloom_delta_bcasts]:
+            if b is not None:
+                b.unpersist()
+        st.bloom_base_bcast = sc.broadcast(st.registry.broadcast_payload())
+        st.bloom_delta_bcasts = []
+        st.last_bloom_delta_buckets = None
+    elif delta:
+        st.bloom_delta_bcasts.append(sc.broadcast(delta))
+        st.last_bloom_delta_buckets = len(delta)
+    else:
+        st.last_bloom_delta_buckets = 0
 
 
 def _write_bloom(spark, store, registry: BloomRegistry, round_: int) -> None:
@@ -220,10 +276,8 @@ def crawl_round(st: CrawlState, r: int) -> dict:
 
     # --- parse (U-6) -> candidates -> new (J1): single fused Arrow pass ----
     seen_df = store.read_seen(r - 1)
-    payload = st.registry.broadcast_payload() if cfg.use_bloom_prefilter else None
-    bcast = spark.sparkContext.broadcast(payload) if payload is not None else None
     cands = cand_mod.candidate_rows(
-        docs_r, cfg, st.rules_bcast(), bcast
+        docs_r, cfg, st.rules_bcast(), st.bloom_broadcasts(), robots_df=st.robots_df
     ).persist(StorageLevel.MEMORY_AND_DISK)
     new = cand_mod.split_new(cands, seen_df).persist(StorageLevel.MEMORY_AND_DISK)
     obs_new = Observation()
@@ -240,8 +294,9 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     )
     n_new = int(obs_new.get["n"])
     _tick("parse_dedup")
-    _absorb_new_into_registry(new, st.registry, store, r, cfg)
+    delta, grew = _absorb_new_into_registry(new, st.registry, store, r, cfg)
     _write_bloom(spark, store, st.registry, r)
+    _refresh_bloom_broadcast(st, delta, grew)
     _tick("bloom")
 
     # --- frontier advance (U1/U2 + W3 deferral) ----------------------------
@@ -290,8 +345,6 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         inner.unpersist()
     cands.unpersist()
     new.unpersist()
-    if bcast is not None:
-        bcast.unpersist()
     st.next_round = r + 1
     return {"round": r, "selected": n_selected, "new": n_new, "frontier": n_frontier}
 

@@ -26,25 +26,23 @@ from .config import CrawlConfig
 
 
 def maybe_seen_udf(bloom_payload_bcast):
-    """U-3: iterator pandas UDF probing broadcast {bucket: (m,k,blob)}."""
+    """U-3: iterator pandas UDF probing broadcast {bucket: (m,k,blob)} —
+    a single broadcast or the sliced chain (base + deltas)."""
+    chain = (
+        list(bloom_payload_bcast)
+        if isinstance(bloom_payload_bcast, (list, tuple))
+        else [bloom_payload_bcast]
+    )
 
     @pandas_udf(BooleanType())
     def maybe_seen(
         it: Iterator[Tuple[pd.Series, pd.Series]]
     ) -> Iterator[pd.Series]:
-        payload = bloom_payload_bcast.value
+        payloads = [b.value for b in chain]
         for bucket_s, hash_s in it:
-            out = np.zeros(len(bucket_s), dtype=bool)
-            buckets = bucket_s.to_numpy()
-            hashes = hash_s.to_numpy()
-            for b in np.unique(buckets):
-                ent = payload.get(int(b))
-                if ent is None:
-                    continue  # empty bucket filter ⇒ definitely new
-                m, k, blob = ent
-                sel = buckets == b
-                out[sel] = bloom.probe_blob(hashes[sel], blob, m, k)
-            yield pd.Series(out)
+            yield pd.Series(
+                bloom.probe_chain(payloads, bucket_s.to_numpy(), hash_s.to_numpy())
+            )
 
     return maybe_seen
 

@@ -90,60 +90,96 @@ def candidate_rows(
     blooms = _bloom_chain(bloom_bcast)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .xxh64 import hash_str_np
+
         rules = (
             robots_bcast.value if (robots_bcast is not None and not relational) else {}
         )
         payloads = [b.value for b in blooms] if blooms is not None else None
 
         for pdf in batches:
-            out = {
-                "url": [], "url_hash": [], "host": [], "host_hash": [],
-                "priority": [], "crawl_depth": [], "bucket": [],
-            }
-            if relational:
-                out["path"] = []
-            for base, kind, ref, pprio, pdepth in zip(
-                pdf["base_url"], pdf["kind"], pdf["ref"],
-                pdf["parent_priority"], pdf["parent_depth"],
-            ):
-                depth = int(pdepth) + 1
-                if depth > max_depth:
+            n = len(pdf)
+            depth = pdf["parent_depth"].to_numpy().astype(np.int64) + 1
+            alive = depth <= max_depth
+
+            # resolve: absolute refs pass through; relative resolved per-row
+            refs = pdf["ref"].astype(object)
+            bases = pdf["base_url"].astype(object)
+            urls = np.full(n, None, dtype=object)
+            is_abs = refs.str.startswith(("http://", "https://")).fillna(False).to_numpy(bool)
+            amask = alive & is_abs
+            urls[amask] = refs.to_numpy(object)[amask]
+            for i in np.nonzero(alive & ~is_abs)[0]:
+                urls[i] = urlnorm.resolve_url(bases.iloc[i], refs.iloc[i])
+
+            # canonicalize: the ~90% provably-canonical fast path is one
+            # vectorized capture (host+path fall out of the same regex);
+            # only the remainder pays the full python parse
+            us = pd.Series(urls, dtype="object")
+            cap = us.str.extract(urlnorm._FAST_CANON_CAP, expand=True)
+            fast = cap[0].notna().to_numpy(bool) & alive
+            hosts = np.full(n, None, dtype=object)
+            paths = np.full(n, None, dtype=object)
+            hosts[fast] = cap[0].to_numpy(object)[fast]
+            paths[fast] = cap[1].to_numpy(object)[fast]
+            for i in np.nonzero(alive & ~fast & (urls != None))[0]:  # noqa: E711
+                u = urlnorm.canon_url(urls[i])
+                if u is None:
+                    urls[i] = None
                     continue
-                url = urlnorm.canon_url(urlnorm.resolve_url(base, ref))
-                if url is None or not urlnorm.is_valid_url(url, max_len):
-                    continue
-                host = urlnorm.host_of(url)
-                if not host:
-                    continue
-                if relational:
-                    out["path"].append(urlnorm.path_of(url))
-                else:
-                    rule = rules.get(host)
+                urls[i] = u
+                hosts[i] = urlnorm.host_of(u) or None
+                paths[i] = urlnorm.path_of(u)
+
+            lens = np.fromiter(
+                (len(u) if u is not None else 0 for u in urls), np.int64, n
+            )
+            keep = (
+                alive
+                & (urls != None)  # noqa: E711
+                & (hosts != None)  # noqa: E711
+                & (lens <= max_len)
+            )
+
+            # robots (dict mode): only rule-bearing hosts pay the matcher
+            if not relational and rules:
+                for i in np.nonzero(keep)[0]:
+                    rule = rules.get(hosts[i])
                     if rule is not None and not robots_allowed(
-                        urlnorm.path_of(url), rule[0], rule[1]
+                        paths[i], rule[0], rule[1]
                     ):
-                        continue
-                uh = hash_str(url)
-                out["url"].append(url)
-                out["url_hash"].append(uh)
-                out["host"].append(host)
-                out["host_hash"].append(hash_str(host))
-                out["priority"].append(int(pprio) + (1 if kind == "link" else 2))
-                out["crawl_depth"].append(depth)
-                out["bucket"].append(uh % n_buckets)
+                        keep[i] = False
+
+            idx = np.nonzero(keep)[0]
+            k_urls = urls[idx].tolist()
+            k_hosts = hosts[idx]
+            uh = hash_str_np(k_urls)
+            # hosts repeat heavily: hash each distinct host once
+            codes, uniq = pd.factorize(pd.Series(k_hosts, dtype="object"))
+            hh = (
+                hash_str_np(uniq.tolist())[codes]
+                if len(uniq)
+                else np.empty(0, np.int64)
+            )
+            kinds = pdf["kind"].to_numpy(object)[idx]
+            prio = pdf["parent_priority"].to_numpy().astype(np.int64)[idx] + np.where(
+                np.asarray(kinds, dtype=object) == "link", 1, 2
+            )
             res = pd.DataFrame(
                 {
-                    "url": pd.Series(out["url"], dtype="object"),
-                    "url_hash": pd.Series(out["url_hash"], dtype="int64"),
-                    "host": pd.Series(out["host"], dtype="object"),
-                    "host_hash": pd.Series(out["host_hash"], dtype="int64"),
-                    "priority": pd.Series(out["priority"], dtype="int32"),
-                    "crawl_depth": pd.Series(out["crawl_depth"], dtype="int32"),
-                    "bucket": pd.Series(out["bucket"], dtype="int32"),
+                    "url": pd.Series(k_urls, dtype="object"),
+                    "url_hash": pd.Series(uh, dtype="int64"),
+                    "host": pd.Series(k_hosts, dtype="object"),
+                    "host_hash": pd.Series(hh, dtype="int64"),
+                    "priority": pd.Series(prio.astype(np.int32), dtype="int32"),
+                    "crawl_depth": pd.Series(depth[idx].astype(np.int32), dtype="int32"),
+                    "bucket": pd.Series((uh % n_buckets).astype(np.int32), dtype="int32"),
                 }
             )
             if relational:
-                res["path"] = pd.Series(out["path"], dtype="object")
+                res["path"] = pd.Series(paths[idx], dtype="object")
             if payloads is None:
                 res["maybe_seen"] = True  # no filter ⇒ exact join decides
             elif len(res) == 0:

@@ -160,3 +160,104 @@ def hash_long_np(values: np.ndarray, seed: int = SPARK_DEFAULT_SEED) -> np.ndarr
         h *= np.uint64(_P3)
         h ^= h >> np.uint64(32)
         return h
+
+
+# ---------------------------------------------------------------------------
+# numpy-vectorized variable-length byte-string path (candidate hot path):
+# rows are padded into a (n, W) uint8 matrix; each algorithm step runs as a
+# masked numpy op over the rows whose length reaches that step, so the
+# per-row python cost collapses to one memcpy.  Bit-equality with the scalar
+# ``hash_bytes`` (and hence Spark xxhash64 on strings) is tested across every
+# tail-length class in tests/test_xxh64.py.
+# ---------------------------------------------------------------------------
+
+_NP_P3 = np.uint64(_P3)
+
+
+def _np_round0(inp: np.ndarray) -> np.ndarray:
+    return _np_rotl(inp * _NP_P2, 31) * _NP_P1
+
+
+def hash_bytes_np(items: list[bytes], seed: int = SPARK_DEFAULT_SEED) -> np.ndarray:
+    """Vectorized ``hash_bytes`` over a list of byte strings -> int64 array."""
+    n_items = len(items)
+    if n_items == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(b) for b in items), np.int64, n_items)
+    maxlen = int(lens.max())
+    w8 = max(8, ((maxlen + 7) // 8) * 8)
+    buf = np.zeros((n_items, w8), dtype=np.uint8)
+    for i, b in enumerate(items):
+        if b:
+            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    words = buf.view("<u8")          # (n, w8/8) little-endian 64-bit lanes
+    dwords = buf.view("<u4")         # (n, w8/4) little-endian 32-bit lanes
+
+    with np.errstate(over="ignore"):
+        h = np.full(n_items, np.uint64((seed + _P5) & _M), dtype=np.uint64)
+        big = lens >= 32
+        if big.any():
+            bw = words[big]
+            nstripes = lens[big] // 32
+            v1 = np.full(bw.shape[0], np.uint64((seed + _P1 + _P2) & _M))
+            v2 = np.full(bw.shape[0], np.uint64((seed + _P2) & _M))
+            v3 = np.full(bw.shape[0], np.uint64(seed & _M))
+            v4 = np.full(bw.shape[0], np.uint64((seed - _P1) & _M))
+
+            def rnd(acc, inp):
+                return _np_rotl(acc + inp * _NP_P2, 31) * _NP_P1
+
+            for s in range(int(nstripes.max())):
+                m = nstripes > s
+                base = s * 4
+                v1[m] = rnd(v1[m], bw[m, base])
+                v2[m] = rnd(v2[m], bw[m, base + 1])
+                v3[m] = rnd(v3[m], bw[m, base + 2])
+                v4[m] = rnd(v4[m], bw[m, base + 3])
+            hb = _np_rotl(v1, 1) + _np_rotl(v2, 7) + _np_rotl(v3, 12) + _np_rotl(v4, 18)
+            for v in (v1, v2, v3, v4):
+                hb = (hb ^ _np_round0(v)) * _NP_P1 + _NP_P4
+            h[big] = hb
+        h = h + lens.astype(np.uint64)
+
+        # 8-byte tail words, in order, from the stripe end
+        start_w = (lens // 32) * 4
+        n_words = lens // 8
+        for w in range(int(n_words.max())):
+            m = (start_w <= w) & (w < n_words)
+            if not m.any():
+                continue
+            idx = np.nonzero(m)[0]
+            hm = h[idx] ^ _np_round0(words[idx, w])
+            h[idx] = _np_rotl(hm, 27) * _NP_P1 + _NP_P4
+
+        # one 4-byte word if >= 4 bytes remain
+        o4 = (lens // 8) * 8
+        m4 = (lens - o4) >= 4
+        if m4.any():
+            idx = np.nonzero(m4)[0]
+            w4 = dwords[idx, o4[m4] // 4].astype(np.uint64)
+            hm = h[idx] ^ (w4 * _NP_P1)
+            h[idx] = _np_rotl(hm, 23) * _NP_P2 + _NP_P3
+
+        # trailing single bytes
+        ob = o4 + np.where(m4, 4, 0)
+        rem = lens - ob
+        for j in range(int(rem.max()) if n_items else 0):
+            m = rem > j
+            idx = np.nonzero(m)[0]
+            byte = buf[idx, ob[m] + j].astype(np.uint64)
+            hm = h[idx] ^ (byte * _NP_P5)
+            h[idx] = _np_rotl(hm, 11) * _NP_P1
+
+        h ^= h >> np.uint64(33)
+        h *= _NP_P2
+        h ^= h >> np.uint64(29)
+        h *= _NP_P3
+        h ^= h >> np.uint64(32)
+    return h.view(np.int64)
+
+
+def hash_str_np(strings, seed: int = SPARK_DEFAULT_SEED) -> np.ndarray:
+    """Vectorized ``hash_str`` over an iterable of python strings."""
+    return hash_bytes_np([s.encode("utf-8") for s in strings], seed)

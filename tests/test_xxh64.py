@@ -58,3 +58,21 @@ def test_numpy_long_path_matches_scalar():
         vec = hash_long_np(arr, seed).astype(np.int64)
         for i, v in enumerate(LONGS):
             assert int(vec[i]) == hash_long(v, seed)
+
+
+def test_numpy_bytes_path_matches_scalar():
+    """hash_bytes_np covers every tail-length class (0..34 spans: empty,
+    byte-tail, 4-byte step, 8-byte words, 32-byte stripes) and long inputs."""
+    from crawlspark.xxh64 import hash_bytes, hash_bytes_np, hash_str, hash_str_np
+
+    rng = np.random.default_rng(7)
+    items = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+             for n in list(range(0, 70)) + [127, 128, 255, 1024, 2048]]
+    for seed in (42, 0xB100F):
+        vec = hash_bytes_np(items, seed)
+        for i, b in enumerate(items):
+            assert int(vec[i]) == hash_bytes(b, seed), (i, len(b))
+    strings = ["", "a", "http://h1.example/p/123", "x" * 33, "ü" * 20, "مرحبا" * 9]
+    vec = hash_str_np(strings)
+    for i, s in enumerate(strings):
+        assert int(vec[i]) == hash_str(s), repr(s)

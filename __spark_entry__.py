@@ -485,6 +485,12 @@ def _q_minhash_sig(spark, sf_dir):
     return textops.minhash_signatures(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_lsh_band_stats(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.lsh_band_stats(_tpch(spark, sf_dir, "documents"))
+
+
 def _q_lsh_pairs(spark, sf_dir):
     from crawlspark import textops
 
@@ -581,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_sig": _q_minhash_sig,
         "lsh_pairs": _q_lsh_pairs,
+        "lsh_band_stats": _q_lsh_band_stats,
         "simhash_docs": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_stats": _q_token_stats,
@@ -609,14 +616,14 @@ def _sh_sql(n: int, ws: str = "ws") -> str:
     )
 
 
-def _minhash_cte() -> str:
+def _minhash_cte(src: str = "documents") -> str:
     from crawlspark.textops import MINHASH_K
 
     sigs = ", ".join(
         f"MIN(md5(shingle || '#{i}')) AS sig_{i}" for i in range(MINHASH_K)
     )
     return f"""
-        w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        w AS (SELECT doc_id, {_WORDS} AS ws FROM {src}),
         s AS (SELECT doc_id, {_sh_sql(3)} AS sh FROM w),
         e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
         sig AS (SELECT doc_id, {sigs} FROM e GROUP BY doc_id)
@@ -704,7 +711,13 @@ def _band_sql(emb: str, band: int) -> str:
 
 
 def _textops_oracle_sql() -> dict[str, str]:
-    from crawlspark.textops import LSH_BANDS, MINHASH_K, STOPWORDS, TOKEN_REGEX
+    from crawlspark.textops import (
+        LSH_BAND_CAP as _LSH_CAP,
+        LSH_BANDS,
+        MINHASH_K,
+        STOPWORDS,
+        TOKEN_REGEX,
+    )
 
     rows = MINHASH_K // LSH_BANDS
     band_exprs = ", ".join(
@@ -723,15 +736,46 @@ def _textops_oracle_sql() -> dict[str, str]:
             """,
         "minhash_sig": f"WITH {_minhash_cte()} SELECT * FROM sig",
         "lsh_pairs": f"""
-            WITH {_minhash_cte()},
+            WITH reps AS (
+              SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+              FROM documents GROUP BY md5(text)
+            ),
+            {_minhash_cte(src='reps')},
             banded AS (
               SELECT doc_id, b.band_idx AS band_idx, b.band_hash AS band_hash
               FROM (SELECT doc_id, unnest([{band_exprs}]) AS b FROM sig)
+            ),
+            ok AS (
+              SELECT band_idx, band_hash FROM banded
+              GROUP BY band_idx, band_hash HAVING COUNT(*) <= {_LSH_CAP}
+            ),
+            bd AS (
+              SELECT banded.* FROM banded
+              JOIN ok ON banded.band_idx = ok.band_idx
+                     AND banded.band_hash = ok.band_hash
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM banded a JOIN banded b
+            FROM bd a JOIN bd b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
+            """,
+        "lsh_band_stats": f"""
+            WITH reps AS (
+              SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+              FROM documents GROUP BY md5(text)
+            ),
+            {_minhash_cte(src='reps')},
+            banded AS (
+              SELECT doc_id, b.band_idx AS band_idx, b.band_hash AS band_hash
+              FROM (SELECT doc_id, unnest([{band_exprs}]) AS b FROM sig)
+            ),
+            sz AS (SELECT band_idx, band_hash, COUNT(*) AS n_docs
+                   FROM banded GROUP BY band_idx, band_hash)
+            SELECT COUNT(*) AS n_bands,
+                   CAST(SUM(CASE WHEN n_docs > {_LSH_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+                     AS oversized_bands,
+                   MAX(n_docs) AS max_band_size
+            FROM sz
             """,
         "simhash_docs": _simhash_sql(),
         "ngram_jaccard": f"""

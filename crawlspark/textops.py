@@ -79,10 +79,23 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS
-) -> DataFrame:
-    """MinHash-LSH near-dup candidates: docs sharing ≥1 signature band."""
+LSH_BAND_CAP = 64  # max docs per (band_idx, band_hash) group that may pair
+
+
+def _dedup_reps(docs: DataFrame) -> DataFrame:
+    """Collapse exact-duplicate texts to one representative doc before
+    banding — a mega-cluster of N identical docs would otherwise emit
+    O(N²) pairs inside one band. Exact-dup membership is already fully
+    reported by exact_dedup; LSH only needs distinct texts."""
+    return (
+        docs.select(F.md5("text").alias("th"), "doc_id", "text")
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .select("doc_id", "text")
+    )
+
+
+def _banded(docs: DataFrame, k: int, bands: int) -> DataFrame:
     sig = minhash_signatures(docs, k)
     rows = k // bands
     band_cols = F.array(
@@ -96,11 +109,33 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_cols).alias("b")).select(
+    return sig.select("doc_id", F.explode(band_cols).alias("b")).select(
         "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    band_cap: int = LSH_BAND_CAP,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: distinct-text docs sharing ≥1
+    signature band. Exact dups are collapsed first (see _dedup_reps) and
+    any band group still larger than `band_cap` is excluded from pairing —
+    the O(n²)-per-band blowup guard. Exclusions are NOT silent: they are
+    counted per-run by lsh_band_stats (same banding, same cap)."""
+    banded = _banded(_dedup_reps(docs), k, bands)
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    ok = banded.join(
+        sizes.filter(F.col("n_docs") <= band_cap).select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+    a = ok.alias("a")
+    b = ok.alias("b")
     return (
         a.join(
             b,
@@ -110,6 +145,28 @@ def lsh_candidate_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_band_stats(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    band_cap: int = LSH_BAND_CAP,
+) -> DataFrame:
+    """Band-population audit for lsh_candidate_pairs: total band groups,
+    the count EXCLUDED by the cap (oversized_bands — the no-silent-
+    truncation contract), and the largest group seen."""
+    banded = _banded(_dedup_reps(docs), k, bands)
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.sum(F.when(F.col("n_docs") > band_cap, 1).otherwise(0))
+        .cast("long")
+        .alias("oversized_bands"),
+        F.max("n_docs").alias("max_band_size"),
     )
 
 

@@ -299,6 +299,22 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     _refresh_bloom_broadcast(st, delta, grew)
     _tick("bloom")
 
+    # --- lineage + metrics (S9/A4): independent of the frontier advance, so
+    # they run on background threads overlapped with it (joined pre-commit)
+    lineage = metrics.partition_lineage(ordered, r, "selected").unionByName(
+        metrics.partition_lineage(new, r, "new")
+    )
+    fetch_m = metrics.fetch_metrics(docs_r, r)
+    lm_futures = []
+    if cfg.async_lineage_metrics:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        lm_futures = [
+            pool.submit(store.write, lineage, r, "lineage"),
+            pool.submit(store.write, fetch_m, r, "metrics"),
+        ]
+
     # --- frontier advance (U1/U2 + W3 deferral) ----------------------------
     # delay_slots is a frontier column (attached at ingest) — no join here
     deferred = eligible.join(
@@ -325,12 +341,13 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     n_frontier = int(obs_fr.get["n"])
     _tick("frontier")
 
-    # --- lineage + metrics (S9/A4) -----------------------------------------
-    lineage = metrics.partition_lineage(ordered, r, "selected").unionByName(
-        metrics.partition_lineage(new, r, "new")
-    )
-    store.write(lineage, r, "lineage")
-    store.write(metrics.fetch_metrics(docs_r, r), r, "metrics")
+    if lm_futures:
+        for f in lm_futures:
+            f.result()  # must land before the round commits (exact resume)
+        pool.shutdown(wait=False)
+    else:
+        store.write(lineage, r, "lineage")
+        store.write(fetch_m, r, "metrics")
     _tick("lineage_metrics")
     if _timing:
         _t.pop("_last", None)

@@ -73,8 +73,14 @@ def test_query_matches_oracle(spark, duck, name):
     )
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+# As of round 2 every query has a value-level oracle, so the rows-only set
+# is empty; the sentinel keeps the parametrization non-empty (an empty set
+# would register as a permanent skip) and asserts full oracle coverage.
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)) or ["__all_oracled__"])
 def test_rows_only_queries_run(spark, name):
+    if name == "__all_oracled__":
+        assert set(QUERIES) <= set(ORACLE)
+        return
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0

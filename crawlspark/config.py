@@ -43,6 +43,14 @@ class CrawlConfig:
     # closure). Identical output (digest-equality tested).
     robots_relational: bool = False
     fetch_arrow: bool = False
+    # adaptive politeness (heroshi-style backoff from observed server
+    # behavior): a host whose fetched docs this round are >=50% errors gets
+    # its delay multiplier doubled (budget shrinks, deferral stretches); an
+    # error-free round halves it. Multiplier state is checkpointed per
+    # round (host_state table) so resume is exact. Opt-in: the default
+    # crawl stays bit-equal to the static-politeness oracle.
+    adaptive_politeness: bool = False
+    adaptive_max_mult: int = 8
     # run the (independent) lineage + metrics writes on background threads,
     # overlapped with the frontier advance; both are joined BEFORE the round
     # commits, so exact resume is unaffected. Pure per-round latency win.

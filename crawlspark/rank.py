@@ -78,6 +78,57 @@ def attach_host_budget(
     ).withColumn("delay_slots", F.coalesce(F.col("delay_slots"), F.lit(1)).cast("int"))
 
 
+def apply_adaptive(eligible: DataFrame, host_state: DataFrame | None, cfg: CrawlConfig) -> DataFrame:
+    """Attach each host's adaptive multiplier as a TRANSIENT `mult` column
+    (host_state = (host_hash, mult), sparse: only mult > 1 rows are stored,
+    so the broadcast carries just the misbehaving hosts). The persisted
+    base columns host_budget/delay_slots stay untouched — the scheduler
+    derives budget_eff = max(1, budget // mult) and the deferral uses
+    delay * mult; _frontier_shape drops `mult` so nothing compounds."""
+    if host_state is None:
+        return eligible.withColumn("mult", F.lit(1))
+    j = eligible.join(F.broadcast(host_state), "host_hash", "left")
+    return j.withColumn("mult", F.coalesce(F.col("mult"), F.lit(1)))
+
+
+def adaptive_host_state(
+    docs: DataFrame, prev_state: DataFrame | None, cfg: CrawlConfig
+) -> DataFrame:
+    """Next round's (host_hash, mult) from this round's fetch outcomes:
+    >=50% non-200 docs -> mult*2 (capped), zero errors -> mult//2, hosts not
+    fetched keep their multiplier. Only mult > 1 rows are emitted (sparse)."""
+    stats = (
+        docs.select(
+            F.xxhash64(F.parse_url("url", F.lit("HOST"))).alias("host_hash"),
+            "status",
+        )
+        .groupBy("host_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("err"),
+        )
+    )
+    if prev_state is None:
+        joined = stats.withColumn("mult", F.lit(1))
+    else:
+        joined = stats.join(prev_state, "host_hash", "full_outer").withColumn(
+            "mult", F.coalesce(F.col("mult"), F.lit(1))
+        )
+    new_mult = (
+        F.when(F.col("n").isNull(), F.col("mult"))
+        .when(
+            F.col("err") * 2 >= F.col("n"),
+            F.least(F.lit(cfg.adaptive_max_mult), F.col("mult") * 2),
+        )
+        .when(F.col("err") == 0, F.greatest(F.lit(1), F.floor(F.col("mult") / 2)))
+        .otherwise(F.col("mult"))
+    )
+    return (
+        joined.select("host_hash", new_mult.cast("int").alias("mult"))
+        .filter(F.col("mult") > 1)
+    )
+
+
 def select_batch(
     eligible: DataFrame, robots_df: DataFrame | None, cfg: CrawlConfig
 ) -> DataFrame:
@@ -90,6 +141,21 @@ def select_batch(
     stats = host_stats(eligible, cfg).select("host_hash", "n_salts")
     if "host_budget" not in eligible.columns:
         eligible = attach_host_budget(eligible, robots_df, cfg)
+    if "mult" in eligible.columns:
+        # adaptive politeness: shrink the effective budget transiently
+        eligible = eligible.withColumn(
+            "host_budget",
+            F.greatest(
+                F.lit(1), F.floor(F.col("host_budget") / F.col("mult"))
+            ).cast("int"),
+        ).drop("mult")
+    # shuffle-byte pruning: the two window exchanges move every row twice,
+    # and nothing downstream of selection reads host/state/discovered_round/
+    # not_before_round (the deferral path reads them from `eligible`, not
+    # from the selected batch) — dropping them cuts ~25% of the scheduling
+    # shuffle volume. Measured across 2→8 cores this section was the worst
+    # scaler (shared memory-bus bound), so bytes ARE the cost.
+    eligible = eligible.drop("host", "state", "discovered_round", "not_before_round")
     df = eligible.join(F.broadcast(stats), "host_hash", "left")
 
     # F7: salt — engine-only parallelism lever, seed chain (url, 7L)

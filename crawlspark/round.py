@@ -244,6 +244,11 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     frontier = store.read(r - 1, "frontier")
     eligible = frontier.filter(F.col("not_before_round") <= r)
     ineligible = frontier.filter(F.col("not_before_round") > r)
+    prev_host_state = None
+    if cfg.adaptive_politeness:
+        if store.exists(r - 1, "host_state"):
+            prev_host_state = store.read(r - 1, "host_state")
+        eligible = rank.apply_adaptive(eligible, prev_host_state, cfg)
 
     # --- schedule (W1/W2 salted two-phase + O3 cap + S10 order) ------------
     selected = rank.select_batch(eligible, st.robots_df, cfg)
@@ -272,6 +277,11 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     docs = fetch_fn(ordered, r, st.spec)
     store.write(docs, r, "documents")
     docs_r = store.read(r, "documents")  # re-read: fetch runs exactly once
+    if cfg.adaptive_politeness:
+        # next round's per-host backoff from THIS round's observed outcomes
+        store.write(
+            rank.adaptive_host_state(docs_r, prev_host_state, cfg), r, "host_state"
+        )
     _tick("fetch")
 
     # --- parse (U-6) -> candidates -> new (J1): single fused Arrow pass ----
@@ -316,12 +326,15 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         ]
 
     # --- frontier advance (U1/U2 + W3 deferral) ----------------------------
-    # delay_slots is a frontier column (attached at ingest) — no join here
+    # delay_slots is a frontier column (attached at ingest) — no join here;
+    # under adaptive politeness the deferral stretches by the transient
+    # `mult` column (the persisted base delay_slots stays unscaled)
+    delay_eff = F.col("delay_slots") * (
+        F.col("mult") if "mult" in eligible.columns else F.lit(1)
+    )
     deferred = eligible.join(
         ordered.select("url_hash"), "url_hash", "left_anti"
-    ).withColumn(
-        "not_before_round", (F.lit(r) + F.col("delay_slots")).cast("int")
-    )
+    ).withColumn("not_before_round", (F.lit(r) + delay_eff).cast("int"))
     new_frontier_rows = rank.attach_host_budget(
         new.withColumn("discovered_round", F.lit(r))
         .withColumn("not_before_round", F.lit(r + 1))

@@ -85,6 +85,12 @@ def simulate(
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[int, Entry] = {}
+    # adaptive politeness multipliers (host_hash -> mult), SPEC: a host whose
+    # fetched docs in a round are >=50% non-200 doubles its mult (capped at
+    # cfg.adaptive_max_mult); an error-free round halves it; unfetched hosts
+    # keep theirs. budget_eff = max(1, base_budget // mult); deferral delay
+    # stretches to delay*mult. No-op unless cfg.adaptive_politeness.
+    mult: dict[int, int] = {}
 
     # --- init (SPEC.md Init) ------------------------------------------------
     cand: dict[int, Entry] = {}
@@ -120,6 +126,8 @@ def simulate(
         for hh, entries in by_host.items():
             entries.sort(key=lambda e: (e.priority, e.crawl_depth, e.url_hash, e.url))
             b, _ = _host_budget(entries[0].host, cfg)
+            if cfg.adaptive_politeness:
+                b = max(1, b // mult.get(hh, 1))
             for i, e in enumerate(entries[:b]):
                 selected.append((e, i + 1))
         # global cap K in emission order (host_hash, rank, url)  [SPEC §4]
@@ -133,9 +141,14 @@ def simulate(
         # fetch + parse  [SPEC §5-6]
         raw_cands: list[Entry] = []
         new_cand: dict[int, Entry] = {}
+        fetch_stats: dict[int, list[int]] = {}  # host_hash -> [n, err]
         for e, _rank in selected:
             status, spans = fs.simulate_fetch(e.url, spec)
             res.docs.append((fs.doc_id_of(e.url_hash), e.url, r, status, spans))
+            s = fetch_stats.setdefault(e.host_hash, [0, 0])
+            s[0] += 1
+            if status != 200:
+                s[1] += 1
             if status != 200 or not spans:
                 continue
             for s in spans:
@@ -177,8 +190,17 @@ def simulate(
                 continue
             if e.not_before_round <= r:
                 _, delay = _host_budget(e.host, cfg)
+                if cfg.adaptive_politeness:
+                    delay *= mult.get(e.host_hash, 1)
                 e.not_before_round = r + delay
             next_frontier[uh] = e
+        if cfg.adaptive_politeness:
+            for hh, (n, err) in fetch_stats.items():
+                m = mult.get(hh, 1)
+                if err * 2 >= n:
+                    mult[hh] = min(cfg.adaptive_max_mult, m * 2)
+                elif err == 0:
+                    mult[hh] = max(1, m // 2)
         for uh, e in new_entries.items():
             res.seen[uh] = e.url
             next_frontier[uh] = e

@@ -545,6 +545,12 @@ def _q_ann_lsh(spark, sf_dir):
     return simsearch.ann_lsh_topk(_tpch(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from crawlspark import simsearch
+
+    return simsearch.ivf_topk(_tpch(spark, sf_dir, "embeddings"))
+
+
 def _q_embed_neardup(spark, sf_dir):
     from crawlspark import simsearch
 
@@ -596,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_allpairs": _q_embed_neardup_allpairs,
     }
@@ -711,6 +718,7 @@ def _band_sql(emb: str, band: int) -> str:
 
 
 def _textops_oracle_sql() -> dict[str, str]:
+    from crawlspark.simsearch import IVF_CENTROIDS as _IVF_C, IVF_NPROBE as _IVF_P
     from crawlspark.textops import (
         LSH_BAND_CAP as _LSH_CAP,
         LSH_BANDS,
@@ -847,6 +855,33 @@ def _textops_oracle_sql() -> dict[str, str]:
             s AS (SELECT c.q_id, c.vec_id, {_cos_sql('q.q_emb', 'e.emb')} AS cos
                   FROM c JOIN e ON e.vec_id = c.vec_id
                          JOIN q ON q.q_id = c.q_id),
+            r AS (SELECT q_id, vec_id, cos,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk
+                  FROM s)
+            SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10
+            """,
+        "ann_ivf": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e ORDER BY vec_id LIMIT {_IVF_C}),
+            sa AS (SELECT e.vec_id, e.emb, c.cent_id,
+                          {_cos_sql('e.emb', 'c.c_emb')} AS c_cos
+                   FROM e CROSS JOIN c),
+            asg AS (SELECT vec_id, emb, cent_id FROM (
+                      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY c_cos DESC, cent_id ASC) AS arnk FROM sa)
+                    WHERE arnk = 1),
+            q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e ORDER BY vec_id LIMIT 5),
+            qs AS (SELECT q_id, q_emb, c.cent_id,
+                          {_cos_sql('q_emb', 'c.c_emb')} AS c_cos
+                   FROM q CROSS JOIN c),
+            pr AS (SELECT q_id, q_emb, cent_id FROM (
+                     SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY c_cos DESC, cent_id ASC) AS prnk FROM qs)
+                   WHERE prnk <= {_IVF_P}),
+            s AS (SELECT pr.q_id, a.vec_id, {_cos_sql('pr.q_emb', 'a.emb')} AS cos
+                  FROM pr JOIN asg a ON a.cent_id = pr.cent_id
+                  WHERE a.vec_id <> pr.q_id),
             r AS (SELECT q_id, vec_id, cos,
                          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                               ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk

@@ -198,6 +198,80 @@ def ann_lsh_topk(
     )
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = ANN_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-structured ANN: vectors are assigned to their nearest centroid
+    (inverted lists); a query scans only the lists of its `nprobe` nearest
+    centroids — at 10^9 vectors the scan fraction is nprobe/n_centroids
+    regardless of data size, and the assignment join is a broadcast of the
+    tiny codebook.
+
+    Codebook: the `n_centroids` lowest-vec_id vectors, deterministic and
+    training-free (the sandbox stand-in — production would train the
+    codebook with k-means/MLlib and the query/assignment shape here is
+    unchanged). Ties broken by centroid id; cosine rounded to 6 places so
+    the DuckDB oracle assigns identically."""
+    cents = F.broadcast(
+        emb.orderBy("vec_id").limit(n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
+    )
+    scored_assign = emb.crossJoin(cents).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(cosine_col(F.col("embedding"), F.col("c_emb")), 6).alias("c_cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        scored_assign.withColumn("arnk", F.row_number().over(w_assign))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = emb.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_scored = F.broadcast(q).crossJoin(cents).select(
+        "q_id",
+        "q_emb",
+        "cent_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("c_emb")), 6).alias("c_cos"),
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q_scored.withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= nprobe)
+        .select("q_id", "q_emb", "cent_id")
+    )
+    cands = F.broadcast(probes).join(assigned, "cent_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = cands.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cos", "rnk")
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-banded: vectors are
     exploded into (band_idx, band_val) keys; the self-join is keyed on the

@@ -73,3 +73,20 @@ def test_neardup_banded_is_not_allpairs(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     plan = simsearch.embedding_neardup_pairs(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_topk_recall_and_structure(spark, emb):
+    """IVF probes nprobe/n_centroids of the data; recall must beat the
+    random-scan baseline by a wide margin and results must be exact within
+    the probed lists (cos values match brute force for returned ids)."""
+    bf_rows = simsearch.ann_bruteforce_topk(emb).collect()
+    bf = {(r.q_id, r.vec_id): r.cos for r in bf_rows}
+    ivf_rows = simsearch.ivf_topk(emb).collect()
+    assert len(ivf_rows) == simsearch.N_QUERIES * simsearch.ANN_K
+    recall = len(set(bf) & {(r.q_id, r.vec_id) for r in ivf_rows}) / len(bf)
+    # scan fraction is nprobe/n_centroids = 1/4; random candidates would
+    # give ~0.25 expected recall on this weakly-clustered data
+    assert recall >= 0.3, f"ivf recall@10 {recall:.2f} < 0.3"
+    for r in ivf_rows:
+        if (r.q_id, r.vec_id) in bf:
+            assert abs(bf[(r.q_id, r.vec_id)] - r.cos) < 1e-9

@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--hosts", type=int, default=50)
         p.add_argument("--max-per-host", type=int, default=4)
         p.add_argument("--capacity", type=int, default=0, help="0 = uncapped")
+        p.add_argument(
+            "--adaptive", action="store_true",
+            help="adaptive per-host politeness (backoff from observed errors)",
+        )
     args = ap.parse_args(argv)
 
     from crawlspark import round as rnd
@@ -54,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     cfg = CrawlConfig(
         max_fetches_per_host_per_round=getattr(args, "max_per_host", 4),
         round_capacity=(getattr(args, "capacity", 0) or None),
+        adaptive_politeness=getattr(args, "adaptive", False),
     )
 
     if args.cmd == "status":

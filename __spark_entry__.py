@@ -485,6 +485,12 @@ def _q_minhash_sig(spark, sf_dir):
     return textops.minhash_signatures(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_lsh_verified(spark, sf_dir):
+    from crawlspark import textops
+
+    return textops.lsh_verified_pairs(_tpch(spark, sf_dir, "documents"))
+
+
 def _q_lsh_band_stats(spark, sf_dir):
     from crawlspark import textops
 
@@ -593,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_sig": _q_minhash_sig,
         "lsh_pairs": _q_lsh_pairs,
+        "lsh_verified": _q_lsh_verified,
         "lsh_band_stats": _q_lsh_band_stats,
         "simhash_docs": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -766,6 +773,47 @@ def _textops_oracle_sql() -> dict[str, str]:
             FROM bd a JOIN bd b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
+            """,
+        "lsh_verified": f"""
+            WITH reps AS (
+              SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+              FROM documents GROUP BY md5(text)
+            ),
+            {_minhash_cte(src='reps')},
+            banded AS (
+              SELECT doc_id, b.band_idx AS band_idx, b.band_hash AS band_hash
+              FROM (SELECT doc_id, unnest([{band_exprs}]) AS b FROM sig)
+            ),
+            ok AS (
+              SELECT band_idx, band_hash FROM banded
+              GROUP BY band_idx, band_hash HAVING COUNT(*) <= {_LSH_CAP}
+            ),
+            bd AS (
+              SELECT banded.* FROM banded
+              JOIN ok ON banded.band_idx = ok.band_idx
+                     AND banded.band_hash = ok.band_hash
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bd a JOIN bd b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+            ),
+            w2 AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            g2 AS (SELECT doc_id, list_distinct({_sh_sql(3)}) AS grams FROM w2),
+            j AS (
+              SELECT cand.doc_a, cand.doc_b,
+                     len(list_intersect(ga.grams, gb.grams)) AS i,
+                     len(ga.grams) + len(gb.grams)
+                       - len(list_intersect(ga.grams, gb.grams)) AS u
+              FROM cand JOIN g2 ga ON ga.doc_id = cand.doc_a
+                        JOIN g2 gb ON gb.doc_id = cand.doc_b
+            )
+            SELECT doc_a, doc_b,
+                   round(CASE WHEN u > 0 THEN CAST(i AS DOUBLE) / u ELSE 0.0 END, 6)
+                     AS jaccard
+            FROM j
+            WHERE round(CASE WHEN u > 0 THEN CAST(i AS DOUBLE) / u ELSE 0.0 END, 6) >= 0.5
             """,
         "lsh_band_stats": f"""
             WITH reps AS (

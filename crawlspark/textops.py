@@ -170,6 +170,40 @@ def lsh_band_stats(
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    band_cap: int = LSH_BAND_CAP,
+) -> DataFrame:
+    """The verification tier KEYED TO the LSH candidates: exact n-gram
+    Jaccard computed only for pairs the bands surfaced (never all-pairs —
+    at 100 TB the verify cost is O(candidate pairs), the LSH property).
+    Returns (doc_a, doc_b, jaccard) for pairs meeting the threshold."""
+    pairs = lsh_candidate_pairs(docs, k, bands, band_cap)
+    g = docs.select(
+        "doc_id", F.array_distinct(shingles_col(words_col())).alias("grams")
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    joined = pairs.join(ga, "doc_a").join(gb, "doc_b")
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.when(union > 0, inter.cast("double") / union.cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: word hashes vote ±1 per bit; one explode + one
     groupBy with `bits` conditional sums."""

@@ -51,6 +51,16 @@ class CrawlConfig:
     # crawl stays bit-equal to the static-politeness oracle.
     adaptive_politeness: bool = False
     adaptive_max_mult: int = 8
+    # delta frontier engine: per-round frontier IO becomes O(batch) —
+    # removals (selected url_hashes) + additions (new rows) — instead of
+    # rewriting the whole frontier to bump not_before_round. Correct
+    # because with per-host-constant delay the deferral is DERIVABLE:
+    # eligible(r) ⇔ r ≥ nb₀ ∧ (r − nb₀) mod delay = 0 (a row re-offers
+    # every `delay` rounds until selected). Bases are re-materialized every
+    # compact_frontier_every rounds to bound read fan-in. Incompatible with
+    # adaptive_politeness (varying delay breaks the derivation — enforced).
+    frontier_delta: bool = False
+    compact_frontier_every: int = 8
     # run the (independent) lineage + metrics writes on background threads,
     # overlapped with the frontier advance; both are joined BEFORE the round
     # commits, so exact resume is unaffected. Pure per-round latency win.

@@ -128,6 +128,54 @@ class SnapshotStore:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path())
 
+    # -- delta frontier engine (cfg.frontier_delta) -------------------------
+    # Layout: full `frontier` directories exist only at BASE rounds (init +
+    # every compact_frontier_every); other rounds write `frontier_removals`
+    # (url_hash of selected rows) + `frontier_additions` (new FRONTIER rows).
+    # A url_hash is added at most once and removed at most once, and the
+    # removal always follows the addition (seen-set guarantee), so
+    #   frontier(r) = (base(b) ∪ additions(b+1..r)) ∖ removals(b+1..r)
+    # holds regardless of per-round ordering.
+
+    def frontier_bases(self) -> list[int]:
+        return self.read_manifest().get("frontier_bases", [])
+
+    def record_frontier_base(self, round_: int) -> None:
+        m = self.read_manifest()
+        m.setdefault("frontier_bases", [])
+        if round_ not in m["frontier_bases"]:
+            m["frontier_bases"].append(round_)
+            m["frontier_bases"].sort()
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    def read_frontier(self, round_: int) -> DataFrame:
+        """The frontier AFTER `round_` under the delta engine (raw nb₀
+        values — eligibility is derived by the scheduler)."""
+        bases = [b for b in self.frontier_bases() if b <= round_]
+        if not bases:  # plain engine (or base round itself)
+            return self.read(round_, "frontier")
+        b = max(bases)
+        out = self.read(b, "frontier")
+        adds = [
+            self._dir(r, "frontier_additions")
+            for r in range(b + 1, round_ + 1)
+            if self.exists(r, "frontier_additions")
+        ]
+        if adds:
+            out = out.unionByName(self.spark.read.parquet(*adds))
+        rems = [
+            self._dir(r, "frontier_removals")
+            for r in range(b + 1, round_ + 1)
+            if self.exists(r, "frontier_removals")
+        ]
+        if rems:
+            removals = self.spark.read.parquet(*rems).select("url_hash")
+            out = out.join(removals, "url_hash", "left_anti")
+        return out
+
     def read_all(self, table: str, upto_round: int) -> DataFrame | None:
         dirs = [
             self._dir(r, table) for r in range(upto_round + 1) if self.exists(r, table)
@@ -148,6 +196,8 @@ class SnapshotStore:
             }
         if "compactions" in m:
             m["compactions"] = [c for c in m["compactions"] if c <= round_]
+        if "frontier_bases" in m:
+            m["frontier_bases"] = [b for b in m["frontier_bases"] if b <= round_]
         with open(self._manifest_path(), "w") as f:
             json.dump(m, f, indent=1)
 

@@ -104,6 +104,11 @@ def init_crawl(
     robots_hosts: list[str] | None = None,
 ) -> CrawlState:
     """Round-0 state: canonicalized+filtered seeds become frontier and seen."""
+    if cfg.frontier_delta and cfg.adaptive_politeness:
+        raise ValueError(
+            "frontier_delta derives deferrals from a constant per-host delay; "
+            "adaptive_politeness varies it — pick one"
+        )
     store = SnapshotStore(spark, ckpt)
     robots_df = robots_table_df(spark, robots_hosts or _default_hosts(spec))
 
@@ -119,14 +124,20 @@ def init_crawl(
         .withColumn("not_before_round", F.lit(0))
         .withColumn("state", F.lit("pending"))
     )
-    store.write(frontier0, 0, "frontier")
+    obs_f0 = Observation()
+    store.write(
+        frontier0.observe(obs_f0, F.count(F.lit(1)).alias("n")), 0, "frontier"
+    )
+    n_frontier0 = int(obs_f0.get["n"])
+    if cfg.frontier_delta:
+        store.record_frontier_base(0)
     store.write(deduped.select("url_hash", "url", "bucket"), 0, "seen_delta")
 
     registry = BloomRegistry(fpp=cfg.bloom_fpp, initial_capacity=cfg.bloom_capacity_per_bucket)
     _absorb_new_into_registry(deduped, registry, store, 0, cfg)
     _write_bloom(spark, store, registry, 0)
     deduped.unpersist()
-    store.commit_round(0, {"stage": "init"})
+    store.commit_round(0, {"stage": "init", "frontier": n_frontier0})
     return CrawlState(spark, store, cfg, spec, robots_df, registry, next_round=1)
 
 
@@ -241,9 +252,21 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             _t["_last"] = now
 
     spark, store, cfg = st.spark, st.store, st.cfg
-    frontier = store.read(r - 1, "frontier")
-    eligible = frontier.filter(F.col("not_before_round") <= r)
-    ineligible = frontier.filter(F.col("not_before_round") > r)
+    if cfg.frontier_delta:
+        frontier = store.read_frontier(r - 1)
+        # deferral is DERIVED, not stored: a row first offers at
+        # f = max(nb0, 1) and re-offers every delay_slots rounds until
+        # selected — identical to the stored-bump semantics when the
+        # per-host delay is constant (proved/tested in test_frontier_delta)
+        anchor = F.greatest(F.col("not_before_round"), F.lit(1))
+        eligible = frontier.filter(
+            (anchor <= r) & (F.pmod(F.lit(r) - anchor, F.col("delay_slots")) == 0)
+        )
+        ineligible = None  # never rewritten in the delta engine
+    else:
+        frontier = store.read(r - 1, "frontier")
+        eligible = frontier.filter(F.col("not_before_round") <= r)
+        ineligible = frontier.filter(F.col("not_before_round") > r)
     prev_host_state = None
     if cfg.adaptive_politeness:
         if store.exists(r - 1, "host_state"):
@@ -326,15 +349,6 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         ]
 
     # --- frontier advance (U1/U2 + W3 deferral) ----------------------------
-    # delay_slots is a frontier column (attached at ingest) — no join here;
-    # under adaptive politeness the deferral stretches by the transient
-    # `mult` column (the persisted base delay_slots stays unscaled)
-    delay_eff = F.col("delay_slots") * (
-        F.col("mult") if "mult" in eligible.columns else F.lit(1)
-    )
-    deferred = eligible.join(
-        ordered.select("url_hash"), "url_hash", "left_anti"
-    ).withColumn("not_before_round", (F.lit(r) + delay_eff).cast("int"))
     new_frontier_rows = rank.attach_host_budget(
         new.withColumn("discovered_round", F.lit(r))
         .withColumn("not_before_round", F.lit(r + 1))
@@ -342,16 +356,36 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         st.robots_df,
         cfg,
     )
-    frontier_next = (
-        _frontier_shape(deferred)
-        .unionByName(_frontier_shape(ineligible))
-        .unionByName(_frontier_shape(new_frontier_rows))
-    )
-    obs_fr = Observation()
-    store.write(
-        frontier_next.observe(obs_fr, F.count(F.lit(1)).alias("n")), r, "frontier"
-    )
-    n_frontier = int(obs_fr.get["n"])
+    if cfg.frontier_delta:
+        # O(batch) IO: selected hashes out, new rows in — the deferral bump
+        # for everything else is derived at read time, never written
+        store.write(ordered.select("url_hash"), r, "frontier_removals")
+        store.write(_frontier_shape(new_frontier_rows), r, "frontier_additions")
+        prev_info = store.read_manifest().get("round_info", {}).get(str(r - 1), {})
+        n_frontier = int(prev_info.get("frontier", 0)) - n_selected + n_new
+        if cfg.compact_frontier_every and r % cfg.compact_frontier_every == 0:
+            store.write(_frontier_shape(store.read_frontier(r)), r, "frontier")
+            store.record_frontier_base(r)
+    else:
+        # delay_slots is a frontier column (attached at ingest) — no join
+        # here; under adaptive politeness the deferral stretches by the
+        # transient `mult` column (the persisted base stays unscaled)
+        delay_eff = F.col("delay_slots") * (
+            F.col("mult") if "mult" in eligible.columns else F.lit(1)
+        )
+        deferred = eligible.join(
+            ordered.select("url_hash"), "url_hash", "left_anti"
+        ).withColumn("not_before_round", (F.lit(r) + delay_eff).cast("int"))
+        frontier_next = (
+            _frontier_shape(deferred)
+            .unionByName(_frontier_shape(ineligible))
+            .unionByName(_frontier_shape(new_frontier_rows))
+        )
+        obs_fr = Observation()
+        store.write(
+            frontier_next.observe(obs_fr, F.count(F.lit(1)).alias("n")), r, "frontier"
+        )
+        n_frontier = int(obs_fr.get["n"])
     _tick("frontier")
 
     if lm_futures:
@@ -399,6 +433,24 @@ def read_crawl_order(st: CrawlState, upto_round: int | None = None) -> DataFrame
     if df is None:
         return st.spark.createDataFrame([], CRAWL_ORDER)
     return df.orderBy("round", "seq")
+
+
+def read_frontier_view(st: CrawlState, r: int) -> DataFrame:
+    """Frontier AFTER round r with not_before_round presented in the
+    stored-engine/oracle convention. The delta engine keeps the ORIGINAL
+    nb₀ on disk (deferrals are derived); this view reconstructs the
+    current value — next offer round strictly greater than r — so snapshot
+    comparisons against the oracle are engine-independent."""
+    if not st.cfg.frontier_delta:
+        return st.store.read(r, "frontier")
+    f = st.store.read_frontier(r)
+    nb = F.col("not_before_round")
+    d = F.col("delay_slots")
+    anchor = F.greatest(nb, F.lit(1))
+    cur = F.when(anchor > r, nb).otherwise(
+        anchor + d * (F.floor((F.lit(r) - anchor) / d) + 1)
+    )
+    return f.withColumn("not_before_round", cur.cast("int"))
 
 
 def read_final_seen(st: CrawlState, upto_round: int | None = None) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Delta frontier engine (cfg.frontier_delta): per-round frontier IO is
+O(batch) — removals + additions — with deferrals DERIVED from the constant
+per-host delay instead of rewritten. Must be bit-equal to the oracle (and
+hence to the stored-bump engine) on crawl order, counters, seen set, and
+reconstructed frontier snapshots; resume-safe; physically delta-shaped."""
+
+import os
+import shutil
+
+import pytest
+
+from crawlspark import fixtures
+from crawlspark import round as rnd
+from crawlspark.config import CrawlConfig
+from crawlspark.fetch_spec import FetchSpec
+from crawlspark.schemas import SEEDS
+from oracle.simulator import simulate
+
+ROUNDS = 5
+CFG = CrawlConfig(frontier_delta=True, compact_frontier_every=3)
+
+
+def _crawl(spark, cfg, ckpt, rounds=ROUNDS):
+    seeds = fixtures.seed_urls()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    st = rnd.init_crawl(
+        spark, spark.createDataFrame([(u,) for u in seeds], SEEDS), cfg,
+        FetchSpec(), ckpt=ckpt
+    )
+    infos = rnd.run_crawl(st, max_rounds=rounds)
+    return st, infos
+
+
+def test_delta_engine_matches_oracle(spark):
+    ckpt = "/tmp/crawlspark-test-fdelta"
+    st, infos = _crawl(spark, CFG, ckpt)
+    oracle = simulate(fixtures.seed_urls(), CFG, FetchSpec(), max_rounds=ROUNDS)
+
+    got = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st).collect()]
+    assert got == oracle.crawl_order
+    assert [(i["round"], i["selected"], i["new"], i["frontier"]) for i in infos] == [
+        (o["round"], o["selected"], o["new"], o["frontier"]) for o in oracle.rounds
+    ]
+    seen = {r["url_hash"]: r["url"] for r in rnd.read_final_seen(st).collect()}
+    assert seen == oracle.seen
+
+    # reconstructed frontier snapshot == oracle's stored-bump snapshot
+    last = st.next_round - 1
+    got_f = {
+        r["url_hash"]: (r["url"], r["not_before_round"])
+        for r in rnd.read_frontier_view(st, last).collect()
+    }
+    exp_f = {
+        e.url_hash: (e.url, e.not_before_round)
+        for e in oracle.frontier_by_round[last]
+    }
+    assert got_f == exp_f
+
+
+def test_delta_engine_is_physically_delta(spark):
+    ckpt = "/tmp/crawlspark-test-fdelta2"
+    st, infos = _crawl(spark, CFG, ckpt)
+    # non-base rounds write removals/additions and NO full frontier
+    bases = set(st.store.frontier_bases())
+    assert 0 in bases and 3 in bases  # compacted at compact_frontier_every
+    for r in range(1, st.next_round):
+        assert st.store.exists(r, "frontier_removals")
+        assert st.store.exists(r, "frontier_additions")
+        if r not in bases:
+            assert not os.path.exists(
+                os.path.join(ckpt, f"round={r}", "frontier", "_SUCCESS")
+            )
+        n_rem = st.store.read(r, "frontier_removals").count()
+        n_add = st.store.read(r, "frontier_additions").count()
+        assert n_rem == infos[r - 1]["selected"]
+        assert n_add == infos[r - 1]["new"]
+
+
+def test_delta_engine_resume_exact(spark):
+    ck_a = "/tmp/crawlspark-test-fdelta-a"
+    ck_b = "/tmp/crawlspark-test-fdelta-b"
+    st_a, _ = _crawl(spark, CFG, ck_a, rounds=ROUNDS)
+    st_b, _ = _crawl(spark, CFG, ck_b, rounds=2)
+    st_b2 = rnd.resume(spark, ck_b, CFG, FetchSpec())
+    rnd.run_crawl(st_b2, max_rounds=ROUNDS)
+    oa = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st_a).collect()]
+    ob = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st_b2, ROUNDS).collect()]
+    assert oa == ob
+
+
+def test_delta_engine_rejects_adaptive(spark):
+    with pytest.raises(ValueError, match="frontier_delta"):
+        rnd.init_crawl(
+            spark,
+            spark.createDataFrame([("http://h0.example/",)], SEEDS),
+            CrawlConfig(frontier_delta=True, adaptive_politeness=True),
+            FetchSpec(),
+            ckpt="/tmp/crawlspark-test-fdelta-x",
+        )

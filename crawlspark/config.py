@@ -70,6 +70,26 @@ class CrawlConfig:
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)
 
+    def validate(self) -> None:
+        """Shared config validation — called by BOTH init_crawl and resume so
+        no entry point can silently run an invalid combination (a resume with
+        flags the init would have rejected must fail the same way)."""
+        if self.n_buckets <= 0:
+            raise ValueError("n_buckets must be positive")
+        if not (0 < self.bloom_fpp < 1):
+            raise ValueError("bloom_fpp must be in (0, 1)")
+        if self.max_fetches_per_host_per_round < 1:
+            raise ValueError("max_fetches_per_host_per_round must be >= 1")
+        if self.frontier_delta and self.compact_frontier_every is not None and (
+            self.compact_frontier_every < 1
+        ):
+            raise ValueError("compact_frontier_every must be >= 1")
+        if self.frontier_delta and self.adaptive_politeness:
+            raise ValueError(
+                "frontier_delta derives deferrals from a constant per-host "
+                "delay; adaptive_politeness varies it — pick one"
+            )
+
 
 DEFAULT = CrawlConfig()
 

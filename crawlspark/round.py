@@ -104,11 +104,7 @@ def init_crawl(
     robots_hosts: list[str] | None = None,
 ) -> CrawlState:
     """Round-0 state: canonicalized+filtered seeds become frontier and seen."""
-    if cfg.frontier_delta and cfg.adaptive_politeness:
-        raise ValueError(
-            "frontier_delta derives deferrals from a constant per-host delay; "
-            "adaptive_politeness varies it — pick one"
-        )
+    cfg.validate()
     store = SnapshotStore(spark, ckpt)
     robots_df = robots_table_df(spark, robots_hosts or _default_hosts(spec))
 
@@ -149,10 +145,33 @@ def resume(
     robots_hosts: list[str] | None = None,
 ) -> CrawlState:
     """Exact restart from the last committed round (SURVEY.md §4.2)."""
+    cfg.validate()
     store = SnapshotStore(spark, ckpt)
     last = store.last_complete_round()
     if last is None:
         raise ValueError(f"no committed rounds under {ckpt}")
+    if cfg.frontier_delta:
+        # Resuming a plain-engine checkpoint with the delta engine: the last
+        # round has a full frontier but no recorded base, so the FIRST delta
+        # round would write only removals/additions and the round after that
+        # would find neither a base nor a full frontier — a crash deferred
+        # until after a delta round committed. Record the base NOW (the full
+        # frontier already on disk), or fail fast if there is none.
+        bases = [b for b in store.frontier_bases() if b <= last]
+        if not bases:
+            if not store.exists(last, "frontier"):
+                raise ValueError(
+                    f"cannot resume with frontier_delta: round {last} has "
+                    "neither a full frontier nor a recorded frontier base"
+                )
+            store.record_frontier_base(last)
+        info = store.read_manifest().get("round_info", {}).get(str(last), {})
+        if "frontier" not in info:
+            raise ValueError(
+                f"cannot resume with frontier_delta: round {last} committed "
+                "without a frontier counter (checkpoint predates the delta "
+                "engine) — resume with the stored engine first"
+            )
     robots_df = robots_table_df(spark, robots_hosts or _default_hosts(spec))
     bloom_rows = store.read(last, "bloom").collect()
     registry = BloomRegistry.from_rows(
@@ -362,7 +381,12 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         store.write(ordered.select("url_hash"), r, "frontier_removals")
         store.write(_frontier_shape(new_frontier_rows), r, "frontier_additions")
         prev_info = store.read_manifest().get("round_info", {}).get(str(r - 1), {})
-        n_frontier = int(prev_info.get("frontier", 0)) - n_selected + n_new
+        if "frontier" not in prev_info:
+            raise RuntimeError(
+                f"round {r - 1} committed without a frontier counter — the "
+                "delta engine cannot maintain the running frontier size"
+            )
+        n_frontier = int(prev_info["frontier"]) - n_selected + n_new
         if cfg.compact_frontier_every and r % cfg.compact_frontier_every == 0:
             store.write(_frontier_shape(store.read_frontier(r)), r, "frontier")
             store.record_frontier_base(r)

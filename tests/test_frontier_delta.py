@@ -97,3 +97,41 @@ def test_delta_engine_rejects_adaptive(spark):
             FetchSpec(),
             ckpt="/tmp/crawlspark-test-fdelta-x",
         )
+
+
+def test_resume_plain_checkpoint_with_delta_engine(spark):
+    """Enabling frontier_delta on a checkpoint created by the plain engine
+    must record the last full frontier as a base at resume time — otherwise
+    the crash surfaces only AFTER the first delta round commits (the next
+    read finds neither a base nor a full frontier)."""
+    ckpt = "/tmp/crawlspark-test-fdelta-upgrade"
+    st_plain, _ = _crawl(spark, CrawlConfig(), ckpt, rounds=2)
+    last_plain = st_plain.next_round - 1
+
+    st2 = rnd.resume(spark, ckpt, CFG, FetchSpec())
+    assert last_plain in st2.store.frontier_bases()  # base recorded at resume
+    rnd.run_crawl(st2, max_rounds=ROUNDS)
+
+    # end-to-end result identical to an all-delta run from scratch
+    st_all, _ = _crawl(spark, CFG, "/tmp/crawlspark-test-fdelta-upgrade-ref")
+    oa = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st_all).collect()]
+    ob = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st2, ROUNDS).collect()]
+    assert oa == ob
+
+
+def test_resume_delta_requires_frontier_counter(spark):
+    """A checkpoint whose last commit predates the frontier counter must be
+    rejected, not silently resumed with n_frontier=0."""
+    import json
+
+    ckpt = "/tmp/crawlspark-test-fdelta-nocounter"
+    _crawl(spark, CrawlConfig(), ckpt, rounds=2)
+    mpath = os.path.join(ckpt, "_manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    for info in m.get("round_info", {}).values():
+        info.pop("frontier", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="frontier counter"):
+        rnd.resume(spark, ckpt, CFG, FetchSpec())

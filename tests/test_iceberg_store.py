@@ -70,6 +70,33 @@ def test_commit_round_escapes_info():
     assert '""new"": 5' not in sql  # plain JSON, not double-escaped
 
 
+def test_commit_round_escapes_backslashes():
+    """A JSON payload with an embedded double quote serializes as \\" — Spark
+    SQL string literals interpret backslash escapes, so the generated literal
+    must double the backslash or read_manifest's json.loads fails."""
+    import json
+
+    info = {"note": 'a "quoted" value', "path": "C:\\tmp"}
+    sql = ice.commit_round_sql(CAT, NS, 3, info)
+    lit = sql.split("'")[1]  # the payload literal body
+    # undo Spark's literal unescaping (\\ -> \) and quote-doubling ('' -> ')
+    restored = lit.replace("\\\\", "\\").replace("''", "'")
+    assert json.loads(restored) == info
+
+
+def test_overwrite_requires_dynamic_partition_mode():
+    """overwrite_round_sql is an un-specced INSERT OVERWRITE — correct ONLY
+    under dynamic partitionOverwriteMode (static mode truncates the whole
+    table). The store's __init__ must set AND verify the conf."""
+    import textwrap
+
+    src = inspect.getsource(ice.IcebergSnapshotStore.__init__)
+    assert "spark.sql.sources.partitionOverwriteMode" in src
+    assert '"dynamic"' in src
+    # and the failure path exists (asserted, not just set)
+    assert "RuntimeError" in textwrap.dedent(src)
+
+
 def test_maintenance_procedures():
     assert ice.compact_sql(CAT, NS, "seen") == (
         "CALL ice.system.rewrite_data_files("

@@ -151,6 +151,20 @@ class BloomRegistry:
         f.add(hashes)
         self.filters[bucket] = f
 
+    def grown_capacity(self, bucket: int, n_total: int) -> int:
+        """Rebuild target capacity for a bucket now holding n_total keys —
+        same sizing rule as rebuild(), exposed so the blob itself can be
+        built DISTRIBUTED (the driver only decides the size)."""
+        return max(self.initial_capacity, 2 * max(n_total, self.get(bucket).capacity))
+
+    def install(self, bucket: int, blob: bytes, m: int, k: int, n: int, capacity: int) -> None:
+        """Adopt an externally-built (distributed) blob as the bucket's
+        filter — the receive side of a distributed growth rebuild."""
+        self.filters[bucket] = BucketFilter(
+            int(m), int(k), int(n), int(capacity),
+            np.frombuffer(bytes(blob), dtype=np.uint8).copy(),
+        )
+
     # -- snapshot (exact-resume state, SURVEY.md §3.1 S3) -------------------
     def to_rows(self) -> list[tuple[int, bytes, int, int, int, int]]:
         """Rows for the SEEN_BLOOM schema:

@@ -216,15 +216,30 @@ def _absorb_new_into_registry(
         registry.get(b).absorb_blob(bytes(row["blob"]), int(row["n_items"]))
         delta[b] = (int(row["m_bits"]), int(row["k_hashes"]), bytes(row["blob"]))
     if grow:
-        all_seen = store.read_seen(round_)
-        pdf = (
-            all_seen.filter(F.col("bucket").isin(*[int(b) for b in grow]))
-            .select("bucket", "url_hash")
-            .toPandas()
-        )
-        for b in grow:
-            hashes = pdf.loc[pdf["bucket"] == b, "url_hash"].to_numpy()
-            registry.rebuild(int(b), hashes)
+        # Distributed rebuild: the driver only SIZES the new filter (counts
+        # via a |grow|-row agg); the blob itself is built by the same
+        # partial_bloom_blobs machinery at the new (m,k) over the exact seen
+        # table — |grow| small blob rows cross the driver, never the hashes.
+        grow_seen = store.read_seen(round_).filter(
+            F.col("bucket").isin(*[int(b) for b in grow])
+        ).select("bucket", "url_hash")
+        totals = {
+            int(r["bucket"]): int(r["n"])
+            for r in grow_seen.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        new_caps = {b: registry.grown_capacity(int(b), totals[int(b)]) for b in grow}
+        new_params = {int(b): bloom_params(new_caps[b], cfg.bloom_fpp) for b in grow}
+        rebuilt = seen_mod.partial_bloom_blobs(
+            grow_seen, new_params, default_params
+        ).collect()
+        for row in rebuilt:
+            b = int(row["bucket"])
+            registry.install(
+                b, bytes(row["blob"]), int(row["m_bits"]), int(row["k_hashes"]),
+                int(row["n_items"]), new_caps[b],
+            )
     return delta, bool(grow)
 
 

@@ -38,8 +38,21 @@ def test_bucket_count_invariance(spark):
 
 def test_bloom_capacity_growth_invariance(spark):
     """A tiny bloom capacity forces per-round bucket rebuilds — results
-    must not change (growth is engine-internal)."""
-    a = _outputs(spark, "/tmp/cs-rob-cap", CrawlConfig(bloom_capacity_per_bucket=8))
+    must not change (growth is engine-internal), and the rebuild must be
+    DISTRIBUTED: no toPandas() pulls the bucket's hashes through the driver
+    (only |grow| small blob rows may cross)."""
+    from pyspark.sql import DataFrame
+
+    real_topandas = DataFrame.toPandas
+
+    def spy(self, *a, **kw):
+        raise AssertionError("driver-side toPandas() during growth rebuild")
+
+    DataFrame.toPandas = spy
+    try:
+        a = _outputs(spark, "/tmp/cs-rob-cap", CrawlConfig(bloom_capacity_per_bucket=8))
+    finally:
+        DataFrame.toPandas = real_topandas
     b = _outputs(spark, "/tmp/cs-rob-capbig", CrawlConfig())
     assert a == b
 

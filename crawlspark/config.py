@@ -37,6 +37,19 @@ class CrawlConfig:
     # design point this turns ~1.2 GB/round of re-broadcast into
     # O(changed buckets)/round.
     bloom_rebroadcast_every: int = 8
+    # WHERE the seen-set Bloom state lives:
+    # - 'broadcast': driver-side BloomRegistry, probed via a sliced
+    #   broadcast chain inside the fused candidate pass (no extra shuffle;
+    #   right while the total payload fits comfortably on the driver);
+    # - 'relational': EXECUTOR-side state — blobs are parquet rows (base +
+    #   per-round deltas), maintained by distributed groupBy/applyInPandas
+    #   merges and probed by a co-partitioned cogroup on bucket. No driver
+    #   registry, no sc.broadcast of any blob, ever: the 10^10 design
+    #   point's mode (at 4096 buckets × ~290 KB the driver OR/re-broadcast
+    #   cycle is a memory + serialization chokepoint). Costs one extra
+    #   O(batch) shuffle per round. Digest-equality tested vs broadcast.
+    # Compaction cadence in relational mode reuses bloom_rebroadcast_every.
+    bloom_mode: str = "broadcast"
     # robots rules as a relational broadcast-join + vectorized UDF filter
     # instead of a driver-resident python dict in the fused pass — the
     # web-scale mode (millions of rule-bearing hosts don't fit one pickled
@@ -80,6 +93,8 @@ class CrawlConfig:
             raise ValueError("bloom_fpp must be in (0, 1)")
         if self.max_fetches_per_host_per_round < 1:
             raise ValueError("max_fetches_per_host_per_round must be >= 1")
+        if self.bloom_mode not in ("broadcast", "relational"):
+            raise ValueError("bloom_mode must be 'broadcast' or 'relational'")
         if self.frontier_delta and self.compact_frontier_every is not None and (
             self.compact_frontier_every < 1
         ):

@@ -176,6 +176,54 @@ class SnapshotStore:
             out = out.join(removals, "url_hash", "left_anti")
         return out
 
+    # -- relational Bloom state (cfg.bloom_mode='relational') ----------------
+    # Layout mirrors the frontier deltas: full `bloom` base rows exist only
+    # at BASE rounds (init + every compaction); other rounds append a
+    # `bloom_delta` of per-bucket partial blobs holding ONLY that round's
+    # new keys. The probe side reads base ∪ deltas as a chain (seen.py
+    # probe_relational) — no driver registry, no broadcast payload.
+
+    def bloom_bases(self) -> list[int]:
+        return self.read_manifest().get("bloom_bases", [])
+
+    def record_bloom_base(self, round_: int) -> None:
+        m = self.read_manifest()
+        m.setdefault("bloom_bases", [])
+        if round_ not in m["bloom_bases"]:
+            m["bloom_bases"].append(round_)
+            m["bloom_bases"].sort()
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    def read_bloom_chain(self, round_: int) -> DataFrame | None:
+        """Bloom rows as of `round_`: latest base ≤ round_ plus the deltas
+        after it. Columns (bucket, blob, m_bits, k_hashes, n_items,
+        capacity, is_base); delta rows carry capacity NULL."""
+        from pyspark.sql import functions as F
+
+        bases = [b for b in self.bloom_bases() if b <= round_]
+        out = None
+        start = 0
+        if bases:
+            b = max(bases)
+            out = self.read(b, "bloom").withColumn("is_base", F.lit(True))
+            start = b + 1
+        dirs = [
+            self._dir(r, "bloom_delta")
+            for r in range(start, round_ + 1)
+            if self.exists(r, "bloom_delta")
+        ]
+        if dirs:
+            deltas = (
+                self.spark.read.parquet(*dirs)
+                .withColumn("capacity", F.lit(None).cast("int"))
+                .withColumn("is_base", F.lit(False))
+            )
+            out = deltas if out is None else out.unionByName(deltas)
+        return out
+
     def read_all(self, table: str, upto_round: int) -> DataFrame | None:
         dirs = [
             self._dir(r, table) for r in range(upto_round + 1) if self.exists(r, table)
@@ -198,6 +246,8 @@ class SnapshotStore:
             m["compactions"] = [c for c in m["compactions"] if c <= round_]
         if "frontier_bases" in m:
             m["frontier_bases"] = [b for b in m["frontier_bases"] if b <= round_]
+        if "bloom_bases" in m:
+            m["bloom_bases"] = [b for b in m["bloom_bases"] if b <= round_]
         with open(self._manifest_path(), "w") as f:
             json.dump(m, f, indent=1)
 

@@ -51,7 +51,7 @@ class CrawlState:
     cfg: CrawlConfig
     spec: FetchSpec
     robots_df: DataFrame | None
-    registry: BloomRegistry
+    registry: BloomRegistry | None  # None in bloom_mode='relational'
     next_round: int
     robots_rules_bcast: object | None = None
     # sliced Bloom broadcast chain: one consolidated base + per-round deltas
@@ -60,10 +60,33 @@ class CrawlState:
     bloom_base_bcast: object | None = None
     bloom_delta_bcasts: list = None  # type: ignore[assignment]
     last_bloom_delta_buckets: int | None = None  # None = full rebroadcast
+    # relational bloom mode: cached {bucket: (m,k)} of the latest base —
+    # P rows of ints (metadata only, never blobs); refreshed on compaction
+    bloom_params_cache: dict | None = None
 
     def __post_init__(self):
         if self.bloom_delta_bcasts is None:
             self.bloom_delta_bcasts = []
+
+    def bloom_delta_params(self) -> dict:
+        """(m,k) per bucket for building THIS round's delta blobs — read
+        from the latest base's metadata columns (blob column pruned away),
+        so deltas keep matching a grown bucket's larger filter."""
+        if self.bloom_params_cache is None:
+            bases = self.store.bloom_bases()
+            params: dict = {}
+            if bases:
+                rows = (
+                    self.store.read(max(bases), "bloom")
+                    .select("bucket", "m_bits", "k_hashes")
+                    .collect()
+                )
+                params = {
+                    int(r["bucket"]): (int(r["m_bits"]), int(r["k_hashes"]))
+                    for r in rows
+                }
+            self.bloom_params_cache = params
+        return self.bloom_params_cache
 
     def rules_bcast(self):
         if self.cfg.robots_relational:
@@ -129,9 +152,13 @@ def init_crawl(
         store.record_frontier_base(0)
     store.write(deduped.select("url_hash", "url", "bucket"), 0, "seen_delta")
 
-    registry = BloomRegistry(fpp=cfg.bloom_fpp, initial_capacity=cfg.bloom_capacity_per_bucket)
-    _absorb_new_into_registry(deduped, registry, store, 0, cfg)
-    _write_bloom(spark, store, registry, 0)
+    if cfg.bloom_mode == "relational":
+        registry = None
+        _write_bloom_base_relational(store, deduped, 0, cfg)
+    else:
+        registry = BloomRegistry(fpp=cfg.bloom_fpp, initial_capacity=cfg.bloom_capacity_per_bucket)
+        _absorb_new_into_registry(deduped, registry, store, 0, cfg)
+        _write_bloom(spark, store, registry, 0)
     deduped.unpersist()
     store.commit_round(0, {"stage": "init", "frontier": n_frontier0})
     return CrawlState(spark, store, cfg, spec, robots_df, registry, next_round=1)
@@ -173,6 +200,17 @@ def resume(
                 "engine) — resume with the stored engine first"
             )
     robots_df = robots_table_df(spark, robots_hosts or _default_hosts(spec))
+    if cfg.bloom_mode == "relational":
+        # Bloom state IS the parquet rows — nothing driver-resident to
+        # rebuild. If the checkpoint has no recorded base (it was created in
+        # broadcast mode), one must be built from the exact seen table NOW:
+        # otherwise pre-resume keys would probe "definitely new" and bypass
+        # the exact anti-join — a correctness hole, not a perf knob.
+        if not [b for b in store.bloom_bases() if b <= last]:
+            seen_all = store.read_seen(last)
+            if seen_all is not None:
+                _write_bloom_base_relational(store, seen_all, last, cfg)
+        return CrawlState(spark, store, cfg, spec, robots_df, None, next_round=last + 1)
     bloom_rows = store.read(last, "bloom").collect()
     registry = BloomRegistry.from_rows(
         [
@@ -271,6 +309,86 @@ def _write_bloom(spark, store, registry: BloomRegistry, round_: int) -> None:
     store.write(spark.createDataFrame(registry.to_rows(), SEEN_BLOOM), round_, "bloom")
 
 
+def _write_bloom_base_relational(
+    store: SnapshotStore, rows: DataFrame, round_: int, cfg: CrawlConfig
+) -> None:
+    """Relational-mode base: size each bucket from a ≤P-row count aggregate
+    (driver sees only ints), build the blobs distributed, record the base."""
+    counts = {
+        int(r["bucket"]): int(r["n"])
+        for r in rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    caps = {
+        b: seen_mod.sized_capacity(cfg.bloom_capacity_per_bucket, n)
+        for b, n in counts.items()
+    }
+    base = seen_mod.build_bloom_base(
+        rows, caps, cfg.bloom_fpp, cfg.bloom_capacity_per_bucket
+    )
+    store.write(base, round_, "bloom")
+    store.record_bloom_base(round_)
+
+
+def _compact_bloom(st: CrawlState, r: int) -> None:
+    """Relational-mode chain compaction (the executor-side analog of the
+    broadcast chain's re-consolidation): per bucket, OR-merge the chain rows
+    when (m,k) agree and the key count still fits capacity; otherwise
+    rebuild the bucket from the exact seen table at grown capacity. All blob
+    work runs in per-bucket tasks — the driver only routes bucket ids from a
+    ≤P-row metadata aggregate."""
+    store, cfg = st.store, st.cfg
+    chain = store.read_bloom_chain(r)
+    if chain is None:
+        return
+    meta = (
+        chain.groupBy("bucket")
+        .agg(
+            F.countDistinct("m_bits", "k_hashes").alias("n_params"),
+            F.sum("n_items").alias("n_total"),
+            F.max("capacity").alias("capacity"),  # base row's (deltas NULL)
+        )
+        .collect()
+    )
+    merge_caps: dict[int, int] = {}
+    rebuild_caps: dict[int, int] = {}
+    for row in meta:
+        b = int(row["bucket"])
+        n_total = int(row["n_total"])
+        cap = int(row["capacity"]) if row["capacity"] is not None else (
+            cfg.bloom_capacity_per_bucket
+        )
+        if int(row["n_params"]) == 1 and n_total <= cap:
+            merge_caps[b] = cap
+        else:
+            rebuild_caps[b] = max(
+                cfg.bloom_capacity_per_bucket, 2 * max(n_total, cap)
+            )
+    parts = []
+    if merge_caps:
+        parts.append(
+            seen_mod.merge_bloom_chain(
+                chain.filter(F.col("bucket").isin(*merge_caps)), merge_caps
+            )
+        )
+    if rebuild_caps:
+        seen_rows = st.store.read_seen(r).filter(
+            F.col("bucket").isin(*rebuild_caps)
+        )
+        parts.append(
+            seen_mod.build_bloom_base(
+                seen_rows, rebuild_caps, cfg.bloom_fpp, cfg.bloom_capacity_per_bucket
+            )
+        )
+    if not parts:
+        return
+    base = parts[0]
+    for p in parts[1:]:
+        base = base.unionByName(p)
+    store.write(base, r, "bloom")
+    store.record_bloom_base(r)
+    st.bloom_params_cache = None  # grown buckets may have new (m,k)
+
+
 def crawl_round(st: CrawlState, r: int) -> dict:
     """Execute round r per SPEC.md; returns counters for the caller/bench."""
     import os
@@ -343,9 +461,21 @@ def crawl_round(st: CrawlState, r: int) -> dict:
 
     # --- parse (U-6) -> candidates -> new (J1): single fused Arrow pass ----
     seen_df = store.read_seen(r - 1)
+    relational_bloom = cfg.bloom_mode == "relational"
     cands = cand_mod.candidate_rows(
-        docs_r, cfg, st.rules_bcast(), st.bloom_broadcasts(), robots_df=st.robots_df
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        docs_r,
+        cfg,
+        st.rules_bcast(),
+        None if relational_bloom else st.bloom_broadcasts(),
+        robots_df=st.robots_df,
+    )
+    if relational_bloom and cfg.use_bloom_prefilter:
+        # executor-side probe: cogroup on bucket against the blob ROWS —
+        # no broadcast payload, no driver registry (scale path, config.py)
+        cands = seen_mod.probe_relational(
+            cands.drop("maybe_seen"), store.read_bloom_chain(r - 1)
+        )
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     new = cand_mod.split_new(cands, seen_df).persist(StorageLevel.MEMORY_AND_DISK)
     obs_new = Observation()
     store.write(
@@ -361,9 +491,24 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     )
     n_new = int(obs_new.get["n"])
     _tick("parse_dedup")
-    delta, grew = _absorb_new_into_registry(new, st.registry, store, r, cfg)
-    _write_bloom(spark, store, st.registry, r)
-    _refresh_bloom_broadcast(st, delta, grew)
+    if relational_bloom:
+        # O(batch) delta: this round's partial blobs land as parquet rows —
+        # no collect, no driver OR, no re-broadcast; the chain is compacted
+        # (merge or grow) distributed every bloom_rebroadcast_every rounds
+        store.write(
+            seen_mod.partial_bloom_blobs(
+                new, st.bloom_delta_params(),
+                bloom_params(cfg.bloom_capacity_per_bucket, cfg.bloom_fpp),
+            ),
+            r,
+            "bloom_delta",
+        )
+        if cfg.bloom_rebroadcast_every and r % cfg.bloom_rebroadcast_every == 0:
+            _compact_bloom(st, r)
+    else:
+        delta, grew = _absorb_new_into_registry(new, st.registry, store, r, cfg)
+        _write_bloom(spark, store, st.registry, r)
+        _refresh_bloom_broadcast(st, delta, grew)
     _tick("bloom")
 
     # --- lineage + metrics (S9/A4): independent of the frontier advance, so

@@ -68,7 +68,8 @@ def tier_setup(spark, tier: str):
             n_buckets=64,
             bloom_capacity_per_bucket=1 << 18,
             fetch_arrow=os.environ.get("CRAWLSPARK_FETCH_ARROW", "1") == "1",
-            frontier_delta=os.environ.get("CRAWLSPARK_FRONTIER_DELTA", "0") == "1",
+            frontier_delta=os.environ.get("CRAWLSPARK_FRONTIER_DELTA", "1") == "1",
+            bloom_mode=os.environ.get("CRAWLSPARK_BLOOM_MODE", "broadcast"),
         )
         return spec, seeds_df, cfg
     # sf-named tiers reuse the fixture universe

@@ -44,7 +44,7 @@ from . import bloom as bloom_mod
 from . import urlnorm
 from .config import CrawlConfig
 from .parse import extract_links
-from .robots import allowed as robots_allowed
+from .robots import allowed_batch as robots_allowed_batch
 from .xxh64 import hash_str
 
 CANDIDATE_SCHEMA = (
@@ -68,6 +68,7 @@ def candidate_rows(
     robots_bcast,
     bloom_bcast,
     robots_df: DataFrame | None = None,
+    relational: bool | None = None,
 ) -> DataFrame:
     """DOCUMENTS rows → deduped candidate rows with a `maybe_seen` Bloom
     flag (A2 done; J1's exact tier still pending downstream).
@@ -86,7 +87,9 @@ def candidate_rows(
     max_depth = cfg.max_depth
     max_len = cfg.max_url_len
     n_buckets = cfg.n_buckets
-    relational = cfg.robots_relational and robots_df is not None
+    if relational is None:
+        relational = cfg.robots_relational
+    relational = relational and robots_df is not None
     blooms = _bloom_chain(bloom_bcast)
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,15 +107,12 @@ def candidate_rows(
             depth = pdf["parent_depth"].to_numpy().astype(np.int64) + 1
             alive = depth <= max_depth
 
-            # resolve: absolute refs pass through; relative resolved per-row
-            refs = pdf["ref"].astype(object)
-            bases = pdf["base_url"].astype(object)
-            urls = np.full(n, None, dtype=object)
-            is_abs = refs.str.startswith(("http://", "https://")).fillna(False).to_numpy(bool)
-            amask = alive & is_abs
-            urls[amask] = refs.to_numpy(object)[amask]
-            for i in np.nonzero(alive & ~is_abs)[0]:
-                urls[i] = urlnorm.resolve_url(bases.iloc[i], refs.iloc[i])
+            # resolve: vectorized concat fast paths (absolute, protocol-
+            # relative, path-absolute, sibling/dotted) — canonically equal
+            # to per-row urljoin, which only the odd remainder pays
+            urls = urlnorm.resolve_batch(
+                pdf["base_url"].astype(object), pdf["ref"].astype(object), alive
+            )
 
             # canonicalize: the ~90% provably-canonical fast path is one
             # vectorized capture (host+path fall out of the same regex);
@@ -143,14 +143,21 @@ def candidate_rows(
                 & (lens <= max_len)
             )
 
-            # robots (dict mode): only rule-bearing hosts pay the matcher
+            # robots (dict mode): only rule-bearing hosts pay the matcher,
+            # batched per distinct host (vectorized prefix matching)
             if not relational and rules:
-                for i in np.nonzero(keep)[0]:
-                    rule = rules.get(hosts[i])
-                    if rule is not None and not robots_allowed(
-                        paths[i], rule[0], rule[1]
-                    ):
-                        keep[i] = False
+                kidx = np.nonzero(keep)[0]
+                if len(kidx):
+                    codes, uniq = pd.factorize(
+                        pd.Series(hosts[kidx], dtype="object")
+                    )
+                    for ci, h in enumerate(uniq):
+                        rule = rules.get(h)
+                        if rule is None:
+                            continue
+                        sel = kidx[codes == ci]
+                        ok = robots_allowed_batch(paths[sel], rule[0], rule[1])
+                        keep[sel[~ok]] = False
 
             idx = np.nonzero(keep)[0]
             k_urls = urls[idx].tolist()

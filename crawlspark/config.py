@@ -53,8 +53,14 @@ class CrawlConfig:
     # robots rules as a relational broadcast-join + vectorized UDF filter
     # instead of a driver-resident python dict in the fused pass — the
     # web-scale mode (millions of rule-bearing hosts don't fit one pickled
-    # closure). Identical output (digest-equality tested).
+    # closure). Identical output (digest-equality tested). False means
+    # AUTO: the engine counts rule-bearing hosts at init/resume and flips
+    # to relational above robots_relational_threshold, so the scale-safe
+    # path engages without a config change. True forces relational.
     robots_relational: bool = False
+    # rule-bearing host count above which dict mode stops being sane as a
+    # pickled closure (~100 B/host → ~10 MB broadcast at the threshold)
+    robots_relational_threshold: int = 100_000
     fetch_arrow: bool = False
     # adaptive politeness (heroshi-style backoff from observed server
     # behavior): a host whose fetched docs this round are >=50% errors gets
@@ -64,15 +70,19 @@ class CrawlConfig:
     # crawl stays bit-equal to the static-politeness oracle.
     adaptive_politeness: bool = False
     adaptive_max_mult: int = 8
-    # delta frontier engine: per-round frontier IO becomes O(batch) —
-    # removals (selected url_hashes) + additions (new rows) — instead of
-    # rewriting the whole frontier to bump not_before_round. Correct
-    # because with per-host-constant delay the deferral is DERIVABLE:
-    # eligible(r) ⇔ r ≥ nb₀ ∧ (r − nb₀) mod delay = 0 (a row re-offers
-    # every `delay` rounds until selected). Bases are re-materialized every
-    # compact_frontier_every rounds to bound read fan-in. Incompatible with
-    # adaptive_politeness (varying delay breaks the derivation — enforced).
-    frontier_delta: bool = False
+    # delta frontier engine (DEFAULT): per-round frontier IO becomes
+    # O(batch) — removals (selected url_hashes) + additions (new rows) —
+    # instead of rewriting the whole frontier to bump not_before_round.
+    # Correct because with per-host-constant delay the deferral is
+    # DERIVABLE: eligible(r) ⇔ r ≥ nb₀ ∧ (r − nb₀) mod delay = 0 (a row
+    # re-offers every `delay` rounds until selected). Bases are
+    # re-materialized every compact_frontier_every rounds to bound read
+    # fan-in. Composes with adaptive_politeness via a sparse stored-
+    # exception table: only offers made at mult>1 (and rows already on an
+    # exception) persist a deferral row; everything else stays derived.
+    # frontier_delta=False keeps the stored-bump engine (whole-frontier
+    # rewrite per round — simpler, fine at small scale).
+    frontier_delta: bool = True
     compact_frontier_every: int = 8
     # run the (independent) lineage + metrics writes on background threads,
     # overlapped with the frontier advance; both are joined BEFORE the round
@@ -99,11 +109,6 @@ class CrawlConfig:
             self.compact_frontier_every < 1
         ):
             raise ValueError("compact_frontier_every must be >= 1")
-        if self.frontier_delta and self.adaptive_politeness:
-            raise ValueError(
-                "frontier_delta derives deferrals from a constant per-host "
-                "delay; adaptive_politeness varies it — pick one"
-            )
 
 
 DEFAULT = CrawlConfig()

@@ -176,6 +176,29 @@ class SnapshotStore:
             out = out.join(removals, "url_hash", "left_anti")
         return out
 
+    def read_deferrals(self, upto_round: int) -> DataFrame | None:
+        """Latest stored deferral per url_hash from rounds after the last
+        frontier base (delta engine × adaptive politeness): rows whose
+        deferral diverged from the derivable constant-delay schedule.
+        Values strictly increase per url_hash (a row can only be re-deferred
+        at its own offer round), so max() IS the latest."""
+        from pyspark.sql import functions as F
+
+        bases = [b for b in self.frontier_bases() if b <= upto_round]
+        start = (max(bases) + 1) if bases else 0
+        dirs = [
+            self._dir(t, "frontier_deferrals")
+            for t in range(start, upto_round + 1)
+            if self.exists(t, "frontier_deferrals")
+        ]
+        if not dirs:
+            return None
+        return (
+            self.spark.read.parquet(*dirs)
+            .groupBy("url_hash")
+            .agg(F.max("not_before_round").alias("_nb_stored"))
+        )
+
     # -- relational Bloom state (cfg.bloom_mode='relational') ----------------
     # Layout mirrors the frontier deltas: full `bloom` base rows exist only
     # at BASE rounds (init + every compaction); other rounds append a

@@ -155,7 +155,9 @@ def select_batch(
     # from the selected batch) — dropping them cuts ~25% of the scheduling
     # shuffle volume. Measured across 2→8 cores this section was the worst
     # scaler (shared memory-bus bound), so bytes ARE the cost.
-    eligible = eligible.drop("host", "state", "discovered_round", "not_before_round")
+    eligible = eligible.drop(
+        "host", "state", "discovered_round", "not_before_round", "_nb_stored"
+    )
     df = eligible.join(F.broadcast(stats), "host_hash", "left")
 
     # F7: salt — engine-only parallelism lever, seed chain (url, 7L)

@@ -88,8 +88,12 @@ class CrawlState:
             self.bloom_params_cache = params
         return self.bloom_params_cache
 
+    # resolved robots mode (cfg.robots_relational OR auto-selected by
+    # rule-bearing-host count at init/resume — config.py threshold note)
+    robots_relational: bool = False
+
     def rules_bcast(self):
-        if self.cfg.robots_relational:
+        if self.robots_relational:
             return None  # robots applied relationally; no python dict exists
         if self.robots_rules_bcast is None and self.robots_df is not None:
             self.robots_rules_bcast = self.spark.sparkContext.broadcast(
@@ -112,6 +116,20 @@ class CrawlState:
 
 def _frontier_shape(df: DataFrame) -> DataFrame:
     return df.select(*[f.name for f in FRONTIER.fields])
+
+
+def _resolve_robots_mode(cfg: CrawlConfig, robots_df: DataFrame | None) -> bool:
+    """Auto-select the robots mode by rule-bearing host count: the dict
+    broadcast is a pickled python closure — fine to ~10^5-10^6 hosts, a
+    driver chokepoint beyond. One cheap dim count at init/resume."""
+    if cfg.robots_relational:
+        return True
+    if robots_df is None:
+        return False
+    n = robots_df.filter(
+        (F.size("allow_prefixes") > 0) | (F.size("disallow_prefixes") > 0)
+    ).count()
+    return n > cfg.robots_relational_threshold
 
 
 def _default_hosts(spec: FetchSpec) -> list[str]:
@@ -161,7 +179,10 @@ def init_crawl(
         _write_bloom(spark, store, registry, 0)
     deduped.unpersist()
     store.commit_round(0, {"stage": "init", "frontier": n_frontier0})
-    return CrawlState(spark, store, cfg, spec, robots_df, registry, next_round=1)
+    return CrawlState(
+        spark, store, cfg, spec, robots_df, registry, next_round=1,
+        robots_relational=_resolve_robots_mode(cfg, robots_df),
+    )
 
 
 def resume(
@@ -210,7 +231,10 @@ def resume(
             seen_all = store.read_seen(last)
             if seen_all is not None:
                 _write_bloom_base_relational(store, seen_all, last, cfg)
-        return CrawlState(spark, store, cfg, spec, robots_df, None, next_round=last + 1)
+        return CrawlState(
+            spark, store, cfg, spec, robots_df, None, next_round=last + 1,
+            robots_relational=_resolve_robots_mode(cfg, robots_df),
+        )
     bloom_rows = store.read(last, "bloom").collect()
     registry = BloomRegistry.from_rows(
         [
@@ -220,7 +244,10 @@ def resume(
         fpp=cfg.bloom_fpp,
         initial_capacity=cfg.bloom_capacity_per_bucket,
     )
-    return CrawlState(spark, store, cfg, spec, robots_df, registry, next_round=last + 1)
+    return CrawlState(
+        spark, store, cfg, spec, robots_df, registry, next_round=last + 1,
+        robots_relational=_resolve_robots_mode(cfg, robots_df),
+    )
 
 
 def _absorb_new_into_registry(
@@ -409,11 +436,27 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         # deferral is DERIVED, not stored: a row first offers at
         # f = max(nb0, 1) and re-offers every delay_slots rounds until
         # selected — identical to the stored-bump semantics when the
-        # per-host delay is constant (proved/tested in test_frontier_delta)
+        # per-host delay is constant (proved/tested in test_frontier_delta).
+        # Under adaptive politeness the delay VARIES, so rows whose schedule
+        # diverged carry a stored EXCEPTION (frontier_deferrals, sparse:
+        # only offers made at mult>1, plus rows already on an exception —
+        # once shifted, a row's phase never re-derives). Everything else
+        # stays derived; the exception table is O(adapted slice of batch)
+        # per round and folds away at every frontier base.
+        defs = store.read_deferrals(r - 1) if cfg.adaptive_politeness else None
         anchor = F.greatest(F.col("not_before_round"), F.lit(1))
-        eligible = frontier.filter(
-            (anchor <= r) & (F.pmod(F.lit(r) - anchor, F.col("delay_slots")) == 0)
+        modular = (anchor <= r) & (
+            F.pmod(F.lit(r) - anchor, F.col("delay_slots")) == 0
         )
+        if defs is not None:
+            frontier = frontier.join(defs, "url_hash", "left")
+            eligible = frontier.filter(
+                F.when(
+                    F.col("_nb_stored").isNotNull(), F.col("_nb_stored") <= r
+                ).otherwise(modular)
+            )
+        else:
+            eligible = frontier.filter(modular)
         ineligible = None  # never rewritten in the delta engine
     else:
         frontier = store.read(r - 1, "frontier")
@@ -468,6 +511,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         st.rules_bcast(),
         None if relational_bloom else st.bloom_broadcasts(),
         robots_df=st.robots_df,
+        relational=st.robots_relational,
     )
     if relational_bloom and cfg.use_bloom_prefilter:
         # executor-side probe: cogroup on bucket against the blob ROWS —
@@ -540,6 +584,28 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         # for everything else is derived at read time, never written
         store.write(ordered.select("url_hash"), r, "frontier_removals")
         store.write(_frontier_shape(new_frontier_rows), r, "frontier_additions")
+        if cfg.adaptive_politeness and (
+            prev_host_state is not None or "_nb_stored" in eligible.columns
+        ):
+            # stored exceptions: offered-not-selected rows whose deferral
+            # can't be re-derived (mult>1 now, or phase already shifted)
+            mult_col = F.col("mult") if "mult" in eligible.columns else F.lit(1)
+            stored = (
+                F.col("_nb_stored").isNotNull()
+                if "_nb_stored" in eligible.columns
+                else F.lit(False)
+            )
+            exceptions = (
+                eligible.join(ordered.select("url_hash"), "url_hash", "left_anti")
+                .filter((mult_col > 1) | stored)
+                .select(
+                    "url_hash",
+                    (F.lit(r) + F.col("delay_slots") * mult_col)
+                    .cast("int")
+                    .alias("not_before_round"),
+                )
+            )
+            store.write(exceptions, r, "frontier_deferrals")
         prev_info = store.read_manifest().get("round_info", {}).get(str(r - 1), {})
         if "frontier" not in prev_info:
             raise RuntimeError(
@@ -548,7 +614,10 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             )
         n_frontier = int(prev_info["frontier"]) - n_selected + n_new
         if cfg.compact_frontier_every and r % cfg.compact_frontier_every == 0:
-            store.write(_frontier_shape(store.read_frontier(r)), r, "frontier")
+            # fold: base rows carry the CURRENT stored-convention nb (next
+            # offer round), so derived phase re-anchors and the exception
+            # dirs before the base can be dropped from every future read
+            store.write(_frontier_shape(_effective_frontier(store, r)), r, "frontier")
             store.record_frontier_base(r)
     else:
         # delay_slots is a frontier column (attached at ingest) — no join
@@ -619,22 +688,34 @@ def read_crawl_order(st: CrawlState, upto_round: int | None = None) -> DataFrame
     return df.orderBy("round", "seq")
 
 
-def read_frontier_view(st: CrawlState, r: int) -> DataFrame:
-    """Frontier AFTER round r with not_before_round presented in the
-    stored-engine/oracle convention. The delta engine keeps the ORIGINAL
-    nb₀ on disk (deferrals are derived); this view reconstructs the
-    current value — next offer round strictly greater than r — so snapshot
-    comparisons against the oracle are engine-independent."""
-    if not st.cfg.frontier_delta:
-        return st.store.read(r, "frontier")
-    f = st.store.read_frontier(r)
+def _effective_frontier(store: SnapshotStore, r: int) -> DataFrame:
+    """Delta-engine frontier AFTER round r with not_before_round in the
+    stored-engine/oracle convention (next offer round, strictly > r):
+    stored exceptions win, everything else derives from (anchor, delay)."""
+    f = store.read_frontier(r)
     nb = F.col("not_before_round")
     d = F.col("delay_slots")
     anchor = F.greatest(nb, F.lit(1))
-    cur = F.when(anchor > r, nb).otherwise(
+    derived = F.when(anchor > r, nb).otherwise(
         anchor + d * (F.floor((F.lit(r) - anchor) / d) + 1)
     )
-    return f.withColumn("not_before_round", cur.cast("int"))
+    defs = store.read_deferrals(r)
+    if defs is not None:
+        f = f.join(defs, "url_hash", "left")
+        cur = F.coalesce(F.col("_nb_stored"), derived)
+        return f.withColumn("not_before_round", cur.cast("int")).drop("_nb_stored")
+    return f.withColumn("not_before_round", derived.cast("int"))
+
+
+def read_frontier_view(st: CrawlState, r: int) -> DataFrame:
+    """Frontier AFTER round r with not_before_round presented in the
+    stored-engine/oracle convention. The delta engine keeps the ORIGINAL
+    nb₀ on disk (deferrals derived; adaptive exceptions stored sparsely);
+    this view reconstructs the current value so snapshot comparisons
+    against the oracle are engine-independent."""
+    if not st.cfg.frontier_delta:
+        return st.store.read(r, "frontier")
+    return _effective_frontier(st.store, r)
 
 
 def read_final_seen(st: CrawlState, upto_round: int | None = None) -> DataFrame:

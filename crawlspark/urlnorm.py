@@ -144,6 +144,90 @@ def resolve_url(base: str | None, ref: str | None) -> str | None:
         return None
 
 
+def resolve_batch(bases, refs, alive=None):
+    """Vectorized reference resolution over pandas Series — CANONICALLY
+    equal to per-row resolve_url (tests/test_urlnorm.py property-checks
+    canon∘resolve_batch ≡ canon∘resolve_url):
+
+    - absolute http(s) refs pass through;
+    - protocol-relative ``//host/p`` refs take the base's scheme;
+    - path-absolute ``/p`` refs concat onto the base's scheme+authority;
+    - sibling/dotted relatives (``x``, ``./x``, ``../x``) concat onto the
+      base's directory.
+
+    The concat paths deliberately SKIP urljoin's dot-segment removal: the
+    downstream canonicalizer performs the identical RFC 3986 §5.2.4
+    resolution (and a dotted URL can never take the already-canonical fast
+    path, whose grammar excludes '.'), so the canonical output is
+    bit-identical while ~all rows avoid per-row Python. Only refs the fast
+    grammar can't place (``?q``/``#f`` refs, scheme-colon first segments
+    like ``mailto:``) fall back to the urljoin loop.
+
+    Returns an object ndarray of resolved URLs (None where unusable)."""
+    import numpy as np
+    import pandas as pd
+
+    r = pd.Series(refs, dtype="object")
+    r = r.where(r.notna(), "")
+    b = pd.Series(bases, dtype="object")
+    n = len(r)
+    urls = np.full(n, None, dtype=object)
+    if alive is None:
+        alive = np.ones(n, dtype=bool)
+
+    is_abs = r.str.startswith(("http://", "https://")).fillna(False).to_numpy(bool)
+    m_abs = alive & is_abs
+    urls[m_abs] = r.to_numpy(object)[m_abs]
+
+    b_ok = b.notna().to_numpy(bool)
+    b_http = b.str.startswith(("http://", "https://")).fillna(False).to_numpy(bool)
+    is_pr = r.str.startswith("//").fillna(False).to_numpy(bool) & ~is_abs
+    m_pr = alive & is_pr & b_ok & b_http
+    if m_pr.any():
+        scheme = (
+            b.str.startswith("https://")
+            .fillna(False)
+            .map({True: "https:", False: "http:"})
+        )
+        vals = scheme + r
+        urls[m_pr] = vals.where(vals.notna(), None).to_numpy(object)[m_pr]
+
+    is_pa = r.str.startswith("/").fillna(False).to_numpy(bool) & ~is_pr & ~is_abs
+    m_pa = alive & is_pa & b_ok
+    if m_pa.any():
+        prefix = b.str.extract(r"^(https?://[^/?#]*)", expand=False)
+        vals = prefix + r
+        urls[m_pa] = vals.where(vals.notna(), None).to_numpy(object)[m_pa]
+
+    # sibling / dotted relatives: anything left that the concat grammar can
+    # place — no leading '/', '?' or '#', no scheme-colon first segment, and
+    # no '//' in ref or base path (CPython's urljoin collapses empty
+    # segments in RELATIVE merges — a quirk the oracle inherits, so those
+    # rows take the urljoin loop to stay bit-compatible)
+    plain = (
+        alive
+        & b_ok
+        & ~is_abs
+        & ~is_pr
+        & ~is_pa
+        & (r.str.len() > 0).to_numpy(bool)
+        & ~r.str.contains(r"^[^/]*:", regex=True, na=False).to_numpy(bool)
+        & ~r.str.startswith(("?", "#")).fillna(False).to_numpy(bool)
+        & ~r.str.contains("//", regex=False, na=False).to_numpy(bool)
+        & (b.str.count("//").fillna(0) <= 1).to_numpy(bool)
+    )
+    if plain.any():
+        dirp = b.str.extract(r"^(https?://[^/?#]*(?:[^?#]*/)?)", expand=False)
+        dirp = dirp.where(dirp.str.endswith("/").fillna(False) | dirp.isna(), dirp + "/")
+        vals = dirp + r
+        urls[plain] = vals.where(vals.notna(), None).to_numpy(object)[plain]
+
+    done = m_abs | m_pr | m_pa | plain
+    for i in np.nonzero(alive & ~done)[0]:
+        urls[i] = resolve_url(b.iloc[i], r.iloc[i])
+    return urls
+
+
 def host_of(url: str | None) -> str | None:
     if url is None:
         return None

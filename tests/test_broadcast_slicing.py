@@ -92,3 +92,18 @@ def test_robots_relational_mode_digest_equality(spark):
     assert st.robots_rules_bcast is None  # no python dict was ever built
     assert order_rel == order_dict
     assert seen_rel == seen_dict
+
+
+def test_robots_auto_selects_relational(spark):
+    """VERDICT r02 #3: above robots_relational_threshold rule-bearing hosts
+    the engine flips to relational mode on its own (cfg untouched) — and the
+    digests don't move."""
+    cfg = CrawlConfig(robots_relational_threshold=2)  # fixture universe >> 2
+    st, order, seen = _crawl(spark, cfg, "/tmp/crawlspark-test-rob-auto")
+    assert st.robots_relational and not cfg.robots_relational
+    assert st.robots_rules_bcast is None  # dict mode never engaged
+    _, order_d, seen_d = _crawl(
+        spark, CrawlConfig(), "/tmp/crawlspark-test-rob-auto-ref"
+    )
+    assert order == order_d
+    assert seen == seen_d

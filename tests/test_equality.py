@@ -75,7 +75,7 @@ def test_frontier_snapshot_equality(crawl_pair):
                     row["crawl_depth"],
                     row["not_before_round"],
                 )
-                for row in st.store.read(r, "frontier").collect()
+                for row in rnd.read_frontier_view(st, r).collect()
             )
         )
         want = sorted(

@@ -88,15 +88,79 @@ def test_delta_engine_resume_exact(spark):
     assert oa == ob
 
 
-def test_delta_engine_rejects_adaptive(spark):
-    with pytest.raises(ValueError, match="frontier_delta"):
-        rnd.init_crawl(
-            spark,
-            spark.createDataFrame([("http://h0.example/",)], SEEDS),
-            CrawlConfig(frontier_delta=True, adaptive_politeness=True),
-            FetchSpec(),
-            ckpt="/tmp/crawlspark-test-fdelta-x",
+def test_delta_adaptive_matches_oracle(spark):
+    """Delta engine × adaptive politeness (VERDICT r02 #2): adapted hosts'
+    diverged deferrals ride a sparse stored-exception table; everything else
+    stays derived. Bit-equal to the oracle's stored-bump adaptive schedule,
+    including the frontier snapshot reconstruction and a mid-run fold."""
+    cfg = CrawlConfig(
+        frontier_delta=True, adaptive_politeness=True, compact_frontier_every=3
+    )
+    spec = FetchSpec(not_found_mod=2)  # ~half the fetches 404 → mults trip
+    ckpt = "/tmp/crawlspark-test-fdelta-adaptive"
+    seeds = fixtures.seed_urls()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    st = rnd.init_crawl(
+        spark, spark.createDataFrame([(u,) for u in seeds], SEEDS), cfg, spec,
+        ckpt=ckpt,
+    )
+    infos = rnd.run_crawl(st, max_rounds=ROUNDS)
+    oracle = simulate(seeds, cfg, spec, max_rounds=ROUNDS)
+
+    got = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st).collect()]
+    assert got == oracle.crawl_order
+    assert [(i["round"], i["selected"], i["new"], i["frontier"]) for i in infos] == [
+        (o["round"], o["selected"], o["new"], o["frontier"]) for o in oracle.rounds
+    ]
+    seen = {r["url_hash"]: r["url"] for r in rnd.read_final_seen(st).collect()}
+    assert seen == oracle.seen
+
+    # the combination actually engaged: multipliers AND stored exceptions
+    mults, n_exc = [], 0
+    for r in range(1, st.next_round):
+        if st.store.exists(r, "host_state"):
+            mults += [s["mult"] for s in st.store.read(r, "host_state").collect()]
+        if st.store.exists(r, "frontier_deferrals"):
+            n_exc += st.store.read(r, "frontier_deferrals").count()
+    assert any(m > 1 for m in mults), "no host ever backed off"
+    assert n_exc > 0, "no stored exception was ever written"
+
+    # reconstructed frontier snapshot == oracle's stored-bump snapshot
+    last = st.next_round - 1
+    got_f = {
+        r["url_hash"]: (r["url"], r["not_before_round"])
+        for r in rnd.read_frontier_view(st, last).collect()
+    }
+    exp_f = {
+        e.url_hash: (e.url, e.not_before_round)
+        for e in oracle.frontier_by_round[last]
+    }
+    assert got_f == exp_f
+
+
+def test_delta_adaptive_resume_exact(spark):
+    cfg = CrawlConfig(
+        frontier_delta=True, adaptive_politeness=True, compact_frontier_every=3
+    )
+    spec = FetchSpec(not_found_mod=2)
+    seeds = fixtures.seed_urls()
+
+    def run(ckpt, rounds):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        st = rnd.init_crawl(
+            spark, spark.createDataFrame([(u,) for u in seeds], SEEDS), cfg,
+            spec, ckpt=ckpt,
         )
+        rnd.run_crawl(st, max_rounds=rounds)
+        return st
+
+    st_a = run("/tmp/crawlspark-test-fda-a", ROUNDS)
+    run("/tmp/crawlspark-test-fda-b", 2)
+    st_b = rnd.resume(spark, "/tmp/crawlspark-test-fda-b", cfg, spec)
+    rnd.run_crawl(st_b, max_rounds=ROUNDS)
+    oa = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st_a).collect()]
+    ob = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st_b, ROUNDS).collect()]
+    assert oa == ob
 
 
 def test_resume_plain_checkpoint_with_delta_engine(spark):
@@ -105,7 +169,7 @@ def test_resume_plain_checkpoint_with_delta_engine(spark):
     the crash surfaces only AFTER the first delta round commits (the next
     read finds neither a base nor a full frontier)."""
     ckpt = "/tmp/crawlspark-test-fdelta-upgrade"
-    st_plain, _ = _crawl(spark, CrawlConfig(), ckpt, rounds=2)
+    st_plain, _ = _crawl(spark, CrawlConfig(frontier_delta=False), ckpt, rounds=2)
     last_plain = st_plain.next_round - 1
 
     st2 = rnd.resume(spark, ckpt, CFG, FetchSpec())
@@ -125,7 +189,7 @@ def test_resume_delta_requires_frontier_counter(spark):
     import json
 
     ckpt = "/tmp/crawlspark-test-fdelta-nocounter"
-    _crawl(spark, CrawlConfig(), ckpt, rounds=2)
+    _crawl(spark, CrawlConfig(frontier_delta=False), ckpt, rounds=2)
     mpath = os.path.join(ckpt, "_manifest.json")
     with open(mpath) as f:
         m = json.load(f)

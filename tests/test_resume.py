@@ -24,7 +24,7 @@ def _collect_outputs(st, upto):
     )
     frontier = sorted(
         (r["url"], r["not_before_round"])
-        for r in st.store.read(upto, "frontier").collect()
+        for r in rnd.read_frontier_view(st, upto).collect()
     )
     return order, seen, frontier
 

@@ -4,6 +4,8 @@ table. Example tables mirror the publicly documented Google robots.txt
 semantics (grouping, merging, longest-match + allow-wins-ties)."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from crawlspark.robots import (
     allowed,
@@ -129,3 +131,34 @@ def test_fetch_robots_text_path_matches_table(spark):
         for r in robots_table_df(spark, hosts).collect()
     }
     assert via_text == table
+
+
+# --- allowed_batch ≡ allowed (the vectorized dict-mode matcher) -------------
+
+@given(
+    st.lists(
+        st.text(alphabet="ab9/*$x", min_size=0, max_size=8), min_size=0, max_size=4
+    ),
+    st.lists(
+        st.text(alphabet="ab9/*$x", min_size=0, max_size=8), min_size=0, max_size=4
+    ),
+    st.lists(st.text(alphabet="ab9/x.", min_size=0, max_size=10), min_size=1, max_size=8),
+)
+@settings(max_examples=400, deadline=None)
+def test_allowed_batch_equals_scalar(allow, disallow, paths):
+    import numpy as np
+
+    from crawlspark.robots import allowed, allowed_batch
+
+    got = allowed_batch(np.array(paths, dtype=object), allow, disallow)
+    want = [allowed(p, allow, disallow) for p in paths]
+    assert list(got) == want, f"allow={allow} disallow={disallow} paths={paths}"
+
+
+def test_allowed_batch_none_paths():
+    import numpy as np
+
+    from crawlspark.robots import allowed, allowed_batch
+
+    got = allowed_batch(np.array([None, "/private/x"], dtype=object), [], ["/private"])
+    assert list(got) == [allowed(None, [], ["/private"]), allowed("/private/x", [], ["/private"])]

@@ -77,3 +77,58 @@ def test_fast_path_agrees_with_slow_path(s):
                 assert urlnorm.canon_url(candidate) == candidate, candidate
             finally:
                 urlnorm._FAST_CANON = m
+
+
+BASES = [
+    "http://h0.example/a/b",
+    "http://h0.example/a/b/",
+    "http://h0.example/",
+    "http://h0.example",
+    "https://u:p@h1.example:8080/x/y",
+    "http://h2.example/p?x=1",
+    "http://h2.example/p?x=1/trap",
+    None,
+    "ftp://weird.example/x",
+]
+REFS = [
+    "http://abs.example/z", "https://abs.example/z",
+    "/p/1", "/p/1?q=2", "/b/../c", "//other.example/q",
+    "sib", "sib/2", "./dot", "../up", "../../up2", "..", ".",
+    "x:y-esc", "./x:y", "mailto:a@b", "ftp://n.example/",
+    "?q=only", "#frag", "", None, "p?q=/..", "a//b", "/./",
+]
+
+
+def test_resolve_batch_canonically_equals_resolve_url():
+    """The vectorized resolver's concat fast paths may leave dot segments,
+    but canon∘resolve_batch must equal canon∘resolve_url on every
+    (base, ref) pair — the invariant the fused candidate pass relies on."""
+    import pandas as pd
+
+    from crawlspark.urlnorm import resolve_batch
+
+    pairs = [(b, r) for b in BASES for r in REFS]
+    bases = pd.Series([p[0] for p in pairs], dtype="object")
+    refs = pd.Series([p[1] for p in pairs], dtype="object")
+    got = resolve_batch(bases, refs)
+    for i, (b, r) in enumerate(pairs):
+        want = canon_url(resolve_url(b, r)) if resolve_url(b, r) else None
+        have = canon_url(got[i]) if got[i] is not None else None
+        assert have == want, f"base={b!r} ref={r!r}: {have!r} != {want!r}"
+
+
+@given(
+    st.sampled_from([b for b in BASES if b]),
+    st.text(alphabet="abcz019./-_~:?#%", max_size=30),
+)
+@settings(max_examples=500, deadline=None)
+def test_resolve_batch_property(base, ref):
+    import pandas as pd
+
+    from crawlspark.urlnorm import resolve_batch
+
+    got = resolve_batch(pd.Series([base], dtype="object"), pd.Series([ref], dtype="object"))[0]
+    want = resolve_url(base, ref)
+    gc = canon_url(got) if got is not None else None
+    wc = canon_url(want) if want is not None else None
+    assert gc == wc, f"ref={ref!r}: {gc!r} != {wc!r}"

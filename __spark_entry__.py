@@ -268,10 +268,21 @@ def _q_robots_allow(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_tpch_cust_no_orders(spark, sf_dir):
-    """J1-analog anti-join on driver tables."""
-    cust = _tpch(spark, sf_dir, "customer")
+    """J1-analog anti-join on driver tables. At the test SF every customer
+    has orders, so a raw anti-join verifies only emptiness (0=0); both
+    sides therefore PLANT deterministic order-less customers (key-shifted
+    copies, same construction in the oracle SQL) so the anti-join is
+    asserted on real rows."""
+    cust = _tpch(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    planted = (
+        cust.filter(F.col("c_custkey") % 251 == 0)
+        .select(
+            (F.col("c_custkey") + F.lit(1000000000)).alias("c_custkey"),
+            F.concat(F.lit("noorder#"), F.col("c_name")).alias("c_name"),
+        )
+    )
     orders = _tpch(spark, sf_dir, "orders")
-    return cust.join(
+    return cust.unionByName(planted).join(
         orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
     ).select("c_custkey", "c_name")
 
@@ -558,9 +569,18 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_embed_neardup(spark, sf_dir):
+    """Banded near-dup pairs. The raw fixture has no ≥0.95-cosine pairs at
+    this SF (a 0=0 oracle match verifies only emptiness), so both sides
+    PLANT exact duplicates — id-shifted copies of every 97th vector, same
+    construction in the oracle SQL — making the banded join + cosine tier
+    assert on real pairs."""
     from crawlspark import simsearch
 
-    return simsearch.embedding_neardup_pairs(_tpch(spark, sf_dir, "embeddings"))
+    emb = _tpch(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + F.lit(10000000)).alias("vec_id"), "embedding"
+    )
+    return simsearch.embedding_neardup_pairs(emb.unionByName(planted))
 
 
 def _q_embed_neardup_allpairs(spark, sf_dir):
@@ -937,7 +957,12 @@ def _textops_oracle_sql() -> dict[str, str]:
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10
             """,
         "embed_neardup": f"""
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 97 = 0
+            ),
             k AS (
               SELECT vec_id, emb, 0 AS band_idx, {_band_sql('emb', 0)} AS band_val FROM e
               UNION ALL
@@ -1138,7 +1163,13 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             """,
         "tpch_cust_no_orders": """
-            SELECT c.c_custkey, c.c_name FROM customer c
+            WITH c AS (
+              SELECT c_custkey, c_name FROM customer
+              UNION ALL
+              SELECT c_custkey + 1000000000, 'noorder#' || c_name
+              FROM customer WHERE c_custkey % 251 = 0
+            )
+            SELECT c.c_custkey, c.c_name FROM c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
             """,
         "tpch_top_orders_per_cust": """

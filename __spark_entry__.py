@@ -917,9 +917,16 @@ def _textops_oracle_sql() -> dict[str, str]:
             ),
             q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e ORDER BY vec_id LIMIT 5),
             qk AS (SELECT q.q_id, k.tbl, k.bkt FROM q JOIN k ON k.vec_id = q.q_id),
-            c AS (SELECT DISTINCT qk.q_id, k.vec_id
-                  FROM qk JOIN k ON k.tbl = qk.tbl AND k.bkt = qk.bkt
-                  WHERE k.vec_id <> qk.q_id),
+            qp AS (SELECT DISTINCT q_id, tbl, bkt FROM (
+                SELECT q_id, tbl, bkt FROM qk
+                UNION ALL SELECT q_id, tbl, xor(bkt, 1) FROM qk
+                UNION ALL SELECT q_id, tbl, xor(bkt, 2) FROM qk
+                UNION ALL SELECT q_id, tbl, xor(bkt, 4) FROM qk
+                UNION ALL SELECT q_id, tbl, xor(bkt, 8) FROM qk
+            )),
+            c AS (SELECT DISTINCT qp.q_id, k.vec_id
+                  FROM qp JOIN k ON k.tbl = qp.tbl AND k.bkt = qp.bkt
+                  WHERE k.vec_id <> qp.q_id),
             s AS (SELECT c.q_id, c.vec_id, {_cos_sql('q.q_emb', 'e.emb')} AS cos
                   FROM c JOIN e ON e.vec_id = c.vec_id
                          JOIN q ON q.q_id = c.q_id),

@@ -157,30 +157,64 @@ def _lsh_keyed(emb: DataFrame, n_tables: int, bits: int) -> DataFrame:
     ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
 
 
+def ann_lsh_candidates(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_tables: int = ANN_TABLES,
+    bits: int = ANN_TABLE_BITS,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Candidate (q_id, vec_id) pairs for the multi-table LSH ANN.
+
+    multiprobe=h additionally probes every bucket within Hamming distance
+    ≤ h of the query's bucket in EACH table (classic multi-probe LSH: the
+    next-most-likely buckets are the sign-flips of the nearest planes).
+    h=1 probes (1+bits) of the 2^bits buckets per table — candidate volume
+    stays O(L·(1+bits)·bucket), a fixed multiple of single-probe, never a
+    scan; recall rises steeply because a near neighbor that disagrees on
+    exactly one plane of every table is recovered."""
+    keyed = _lsh_keyed(emb, n_tables, bits)
+    q = emb.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qk = q.join(keyed, q["q_id"] == keyed["vec_id"]).select("q_id", "tbl", "bkt")
+    if multiprobe:
+        variants = [F.col("bkt")]
+        variants += [F.col("bkt").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+        if multiprobe >= 2:
+            variants += [
+                F.col("bkt").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(bits)
+                for j in range(i + 1, bits)
+            ]
+        qk = qk.select(
+            "q_id", "tbl", F.explode(F.array(*variants)).alias("bkt")
+        ).distinct()
+    return (
+        F.broadcast(qk)
+        .join(keyed, ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     k: int = ANN_K,
     n_queries: int = N_QUERIES,
     n_tables: int = ANN_TABLES,
     bits: int = ANN_TABLE_BITS,
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Multi-table LSH ANN: candidates = union over L tables of the query's
-    bucket, deduped on ids BEFORE scoring, exact cosine on the union only.
-    Join shape: keyed self-join on (tbl, bkt) with the tiny query side
-    broadcast — never a cross join."""
-    keyed = _lsh_keyed(emb, n_tables, bits)
+    """Multi-table multi-probe LSH ANN: candidates = union over L tables of
+    the query's bucket and its Hamming-≤h neighbors, deduped on ids BEFORE
+    scoring, exact cosine on the union only. Join shape: keyed self-join on
+    (tbl, bkt) with the tiny query side broadcast — never a cross join."""
     q = emb.orderBy("vec_id").limit(n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    qk = F.broadcast(
-        q.join(keyed, q["q_id"] == keyed["vec_id"]).select("q_id", "tbl", "bkt")
-    )
-    cand_ids = (
-        qk.join(keyed, ["tbl", "bkt"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-        .distinct()
-    )
+    cand_ids = ann_lsh_candidates(emb, n_queries, n_tables, bits, multiprobe)
     scored = (
         cand_ids.join(emb, "vec_id")
         .join(F.broadcast(q), "q_id")
@@ -202,12 +236,39 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 
 
+def kmeans_codebook(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """MLlib-trained IVF codebook: distributed k-means over the embedding
+    column, returned as the (cent_id, c_emb) dim ivf_topk consumes — the
+    production codebook behind the exact same assignment/probe shape as
+    the deterministic stand-in (which remains the DuckDB-oracle tier; a
+    trained model is not SQL-reproducible). Seeded, so runs are stable."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(_as_double(F.col("embedding"))).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(
+        centers, "cent_id int, c_emb array<double>"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = ANN_K,
     n_queries: int = N_QUERIES,
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-structured ANN: vectors are assigned to their nearest centroid
     (inverted lists); a query scans only the lists of its `nprobe` nearest
@@ -215,16 +276,16 @@ def ivf_topk(
     regardless of data size, and the assignment join is a broadcast of the
     tiny codebook.
 
-    Codebook: the `n_centroids` lowest-vec_id vectors, deterministic and
-    training-free (the sandbox stand-in — production would train the
-    codebook with k-means/MLlib and the query/assignment shape here is
-    unchanged). Ties broken by centroid id; cosine rounded to 6 places so
-    the DuckDB oracle assigns identically."""
-    cents = F.broadcast(
-        emb.orderBy("vec_id").limit(n_centroids).select(
+    Codebook: pass `codebook` (e.g. kmeans_codebook — the trained
+    production path) or default to the `n_centroids` lowest-vec_id vectors,
+    deterministic and training-free (the DuckDB-oracle tier). Ties broken
+    by centroid id; cosine rounded to 6 places so the oracle assigns
+    identically."""
+    if codebook is None:
+        codebook = emb.orderBy("vec_id").limit(n_centroids).select(
             F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
         )
-    )
+    cents = F.broadcast(codebook)
     scored_assign = emb.crossJoin(cents).select(
         "vec_id",
         "embedding",

@@ -17,13 +17,55 @@ def emb(spark):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, emb):
-    """Union-of-8-tables candidates must recover most exact top-10
-    neighbors even on weakly-clustered data (top-10 cos ≈ 0.25-0.40 here,
-    the hard case for sign LSH)."""
+    """Multi-probe (Hamming-1) union-of-8-tables candidates must recover
+    most exact top-10 neighbors even on weakly-clustered data (top-10 cos
+    ≈ 0.25-0.40 here, the hard case for sign LSH) — at candidate volume
+    still well below a scan."""
+    n = emb.count()
     bf = {(r.q_id, r.vec_id) for r in simsearch.ann_bruteforce_topk(emb).collect()}
     lsh = {(r.q_id, r.vec_id) for r in simsearch.ann_lsh_topk(emb).collect()}
     recall = len(bf & lsh) / len(bf)
-    assert recall >= 0.5, f"ann_lsh recall@10 {recall:.2f} < 0.5"
+    assert recall >= 0.85, f"ann_lsh recall@10 {recall:.2f} < 0.85"
+    assert n  # (the asymptotics guard runs at a realistic bucket tier below)
+
+
+def test_ann_lsh_candidates_stay_sublinear(spark):
+    """Asymptotics guard at a tier where buckets ≪ n (bits=8 → 256
+    buckets/table, the knob you raise with data size): multi-probe widens
+    by (1+bits)× per table but candidates per query must stay a small
+    fraction of n — the 500-row fixture tier with 16 buckets/table is too
+    coarse to show this, so use a 4000-vector synthetic set."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    rows = [
+        (i, [float(x) for x in rng.normal(size=simsearch.EMB_DIM)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cands = (
+        simsearch.ann_lsh_candidates(df, n_tables=8, bits=8, multiprobe=1)
+        .groupBy("q_id")
+        .count()
+        .collect()
+    )
+    assert cands
+    assert all(c["count"] < 0.35 * n for c in cands), [c["count"] for c in cands]
+
+
+def test_ann_lsh_multiprobe_strictly_widens(spark, emb):
+    """h=1 candidates must be a superset of h=0's (same tables), so recall
+    can only improve; both stay keyed joins (no cross join)."""
+    c0 = {
+        (r.q_id, r.vec_id)
+        for r in simsearch.ann_lsh_candidates(emb, multiprobe=0).collect()
+    }
+    c1 = {
+        (r.q_id, r.vec_id)
+        for r in simsearch.ann_lsh_candidates(emb, multiprobe=1).collect()
+    }
+    assert c0 <= c1 and len(c1) > len(c0)
 
 
 def _clustered_vectors() -> list[tuple[int, list[float], int]]:
@@ -90,3 +132,39 @@ def test_ivf_topk_recall_and_structure(spark, emb):
     for r in ivf_rows:
         if (r.q_id, r.vec_id) in bf:
             assert abs(bf[(r.q_id, r.vec_id)] - r.cos) < 1e-9
+
+
+def test_ivf_trained_codebook_beats_standin(spark):
+    """kmeans_codebook (MLlib, seeded) behind the SAME ivf_topk shape must
+    reach at least the stand-in codebook's recall on clustered data — the
+    production training path is a drop-in dim swap."""
+    rows = _clustered_vectors()
+    # replicate each cluster so lists are non-trivial: 40 bases × 5 jitters
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    big = []
+    vid = 0
+    for base_id, vec, label in rows:
+        v = np.asarray(vec)
+        for _ in range(5):
+            j = v + 0.05 * rng.normal(size=len(v))
+            j /= np.linalg.norm(j)
+            big.append((vid, [float(x) for x in j], label))
+            vid += 1
+    df = spark.createDataFrame(big, "vec_id long, embedding array<float>, label int")
+    bf = {(r.q_id, r.vec_id) for r in simsearch.ann_bruteforce_topk(df).collect()}
+
+    def recall(codebook):
+        got = {
+            (r.q_id, r.vec_id)
+            for r in simsearch.ivf_topk(df, codebook=codebook).collect()
+        }
+        return len(bf & got) / len(bf)
+
+    r_standin = recall(None)
+    cb = simsearch.kmeans_codebook(df)
+    assert cb.count() == simsearch.IVF_CENTROIDS
+    r_trained = recall(cb)
+    assert r_trained >= r_standin, f"trained {r_trained:.2f} < stand-in {r_standin:.2f}"
+    assert r_trained >= 0.5, f"trained recall {r_trained:.2f} < 0.5"

@@ -436,26 +436,19 @@ def _q_json_roundtrip(spark, sf_dir):
 
 
 def _q_bloom_roundtrip(spark, sf_dir):
-    """U-3/U-4/A3 (rows-only): distributed per-bucket Bloom build over the
-    seen fixture, broadcast, vectorized probe of the candidates — returns
-    per-bucket probe stats. Exactness not asserted here (the exact tier is
-    seen_antijoin); this exposes the approximate tier to the driver."""
+    """U-3/U-4/A3 (rows-only): fully executor-side Bloom tier — per-bucket
+    partial blobs built distributed over the seen fixture, probed by the
+    co-partitioned cogroup (crawlspark/seen.py probe_relational). NOTHING
+    crosses the driver: no registry, no collect, no broadcast. Exactness
+    not asserted here (the exact tier is seen_antijoin); this exposes the
+    approximate tier to the driver."""
     from crawlspark import seen as seen_mod
-    from crawlspark.bloom import BloomRegistry
     from crawlspark.bloom import bloom_params as _bloom_params
 
     seen = _read(spark, sf_dir, "seen.parquet")
     cands = _read(spark, sf_dir, "candidates.parquet")
-    reg = BloomRegistry(fpp=0.01, initial_capacity=4096)
-    # distributed build (the production path): per-bucket partial blobs on
-    # executors, driver only ORs <=P small rows
-    default_params = _bloom_params(4096, 0.01)
-    partials = seen_mod.partial_bloom_blobs(seen, {}, default_params).collect()
-    for row in partials:
-        reg.get(int(row["bucket"])).absorb_blob(bytes(row["blob"]), int(row["n_items"]))
-    bcast = spark.sparkContext.broadcast(reg.broadcast_payload())
-    probe = seen_mod.maybe_seen_udf(bcast)
-    flagged = cands.withColumn("maybe_seen", probe(F.col("bucket"), F.col("url_hash")))
+    blobs = seen_mod.partial_bloom_blobs(seen, {}, _bloom_params(4096, 0.01))
+    flagged = seen_mod.probe_relational(cands, blobs)
     return flagged.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_cands"),
         F.sum(F.when(F.col("maybe_seen"), 1).otherwise(0)).alias("n_maybe"),

@@ -561,6 +561,19 @@ def _q_ann_ivf(spark, sf_dir):
     return simsearch.ivf_topk(_tpch(spark, sf_dir, "embeddings"))
 
 
+def _q_lsh_probe_audit(spark, sf_dir):
+    """Multi-probe ANN candidate-volume audit: per-query candidate count
+    from the (1+bits)-probe expansion — the no-silent-blowup evidence for
+    the widened probe set (mirrored CTE-for-CTE in the oracle SQL)."""
+    from crawlspark import simsearch
+
+    return (
+        simsearch.ann_lsh_candidates(_tpch(spark, sf_dir, "embeddings"))
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cands"))
+    )
+
+
 def _q_embed_neardup(spark, sf_dir):
     """Banded near-dup pairs. The raw fixture has no ≥0.95-cosine pairs at
     this SF (a 0=0 oracle match verifies only emptiness), so both sides
@@ -623,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "lsh_probe_audit": _q_lsh_probe_audit,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_allpairs": _q_embed_neardup_allpairs,
     }
@@ -955,6 +969,25 @@ def _textops_oracle_sql() -> dict[str, str]:
                               ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk
                   FROM s)
             SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 10
+            """,
+        "lsh_probe_audit": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            k AS (
+              {" UNION ALL ".join(f"SELECT vec_id, {_ann_table_sql('emb', t)} AS bkt, {t} AS tbl FROM e" for t in range(8))}
+            ),
+            q AS (SELECT vec_id AS q_id FROM e ORDER BY vec_id LIMIT 5),
+            qk AS (SELECT q.q_id, k.tbl, k.bkt FROM q JOIN k ON k.vec_id = q.q_id),
+            qp AS (SELECT DISTINCT q_id, tbl, bkt FROM (
+                SELECT q_id, tbl, bkt FROM qk
+                UNION ALL SELECT q_id, tbl, xor(bkt, 1) FROM qk
+                UNION ALL SELECT q_id, tbl, xor(bkt, 2) FROM qk
+                UNION ALL SELECT q_id, tbl, xor(bkt, 4) FROM qk
+                UNION ALL SELECT q_id, tbl, xor(bkt, 8) FROM qk
+            )),
+            c AS (SELECT DISTINCT qp.q_id, k.vec_id
+                  FROM qp JOIN k ON k.tbl = qp.tbl AND k.bkt = qp.bkt
+                  WHERE k.vec_id <> qp.q_id)
+            SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cands FROM c GROUP BY q_id
             """,
         "embed_neardup": f"""
             WITH e AS (

@@ -69,7 +69,7 @@ def tier_setup(spark, tier: str):
             bloom_capacity_per_bucket=1 << 18,
             fetch_arrow=os.environ.get("CRAWLSPARK_FETCH_ARROW", "1") == "1",
             frontier_delta=os.environ.get("CRAWLSPARK_FRONTIER_DELTA", "1") == "1",
-            bloom_mode=os.environ.get("CRAWLSPARK_BLOOM_MODE", "broadcast"),
+            bloom_mode=os.environ.get("CRAWLSPARK_BLOOM_MODE", "auto"),
         )
         return spec, seeds_df, cfg
     # sf-named tiers reuse the fixture universe

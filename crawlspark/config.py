@@ -47,9 +47,16 @@ class CrawlConfig:
     #   registry, no sc.broadcast of any blob, ever: the 10^10 design
     #   point's mode (at 4096 buckets × ~290 KB the driver OR/re-broadcast
     #   cycle is a memory + serialization chokepoint). Costs one extra
-    #   O(batch) shuffle per round. Digest-equality tested vs broadcast.
+    #   O(batch) shuffle per round — measured at PARITY with broadcast at
+    #   the 1M-host tier (BENCH/BASELINE.md), digest-equality tested.
+    # - 'auto' (DEFAULT): the projected payload n_buckets × m/8 bytes is
+    #   computable exactly from (capacity, fpp, P) at init; above
+    #   bloom_broadcast_max_bytes the engine resolves to relational.
+    #   At the 10^10 point (4096 × ~290 KB ≈ 1.2 GB) → relational;
+    #   at test scale (64 × ~78 KB ≈ 5 MB) → broadcast.
     # Compaction cadence in relational mode reuses bloom_rebroadcast_every.
-    bloom_mode: str = "broadcast"
+    bloom_mode: str = "auto"
+    bloom_broadcast_max_bytes: int = 64 << 20
     # robots rules as a relational broadcast-join + vectorized UDF filter
     # instead of a driver-resident python dict in the fused pass — the
     # web-scale mode (millions of rule-bearing hosts don't fit one pickled
@@ -103,8 +110,10 @@ class CrawlConfig:
             raise ValueError("bloom_fpp must be in (0, 1)")
         if self.max_fetches_per_host_per_round < 1:
             raise ValueError("max_fetches_per_host_per_round must be >= 1")
-        if self.bloom_mode not in ("broadcast", "relational"):
-            raise ValueError("bloom_mode must be 'broadcast' or 'relational'")
+        if self.bloom_mode not in ("auto", "broadcast", "relational"):
+            raise ValueError(
+                "bloom_mode must be 'auto', 'broadcast' or 'relational'"
+            )
         if self.frontier_delta and self.compact_frontier_every is not None and (
             self.compact_frontier_every < 1
         ):

@@ -4,12 +4,23 @@ No Iceberg runtime jar ships in this sandbox (verified: /opt/spark/jars has
 none, no network to fetch one), so exact-resume state lives in a
 directory-per-round parquet layout with a JSON manifest:
 
-    <ckpt>/round=<r>/frontier/          full frontier AFTER round r
+    <ckpt>/round=<r>/frontier/          full frontier AFTER round r (delta
+                                        engine: only at BASE rounds)
+    <ckpt>/round=<r>/frontier_removals/ delta engine: url_hash fetched in r
+    <ckpt>/round=<r>/frontier_additions/delta engine: rows discovered in r
+    <ckpt>/round=<r>/frontier_deferrals/delta × adaptive: sparse stored
+                                        exceptions (rows whose deferral
+                                        diverged from the derivable
+                                        constant-delay schedule)
     <ckpt>/round=<r>/seen_delta/        seen rows ADDED in round r (O(batch) IO)
     <ckpt>/round=<r>/seen_full/         compacted full seen set (optional;
                                         bounds delta-union fan-in — the
                                         Iceberg-compaction analog)
     <ckpt>/round=<r>/bloom/             per-bucket blob rows after round r
+                                        (relational bloom mode: only at
+                                        BASE rounds — init + compactions)
+    <ckpt>/round=<r>/bloom_delta/       relational bloom mode: partial
+                                        blobs of round r's new keys
     <ckpt>/round=<r>/crawl_order/       ordered fetch batch of round r
     <ckpt>/round=<r>/documents/         docs fetched in round r
     <ckpt>/round=<r>/lineage/           per-partition metrics of round r

@@ -156,7 +156,8 @@ def select_batch(
     # shuffle volume. Measured across 2→8 cores this section was the worst
     # scaler (shared memory-bus bound), so bytes ARE the cost.
     eligible = eligible.drop(
-        "host", "state", "discovered_round", "not_before_round", "_nb_stored"
+        "host", "state", "discovered_round", "not_before_round", "_nb_stored",
+        "bucket",  # seen-layout column; nothing downstream of selection reads it
     )
     df = eligible.join(F.broadcast(stats), "host_hash", "left")
 

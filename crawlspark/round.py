@@ -118,6 +118,20 @@ def _frontier_shape(df: DataFrame) -> DataFrame:
     return df.select(*[f.name for f in FRONTIER.fields])
 
 
+def resolve_bloom_relational(cfg: CrawlConfig) -> bool:
+    """bloom_mode='auto' resolves by the PROJECTED broadcast payload —
+    n_buckets × (m_bits/8), exact from (capacity, fpp, P) — against
+    cfg.bloom_broadcast_max_bytes. Beyond it, repeatedly (re)shipping the
+    payload and holding the registry on the driver stops being sane, so
+    the executor-side relational state engages without a config change."""
+    if cfg.bloom_mode == "relational":
+        return True
+    if cfg.bloom_mode == "broadcast":
+        return False
+    m, _ = bloom_params(cfg.bloom_capacity_per_bucket, cfg.bloom_fpp)
+    return cfg.n_buckets * (m // 8) > cfg.bloom_broadcast_max_bytes
+
+
 def _resolve_robots_mode(cfg: CrawlConfig, robots_df: DataFrame | None) -> bool:
     """Auto-select the robots mode by rule-bearing host count: the dict
     broadcast is a pickled python closure — fine to ~10^5-10^6 hosts, a
@@ -170,7 +184,7 @@ def init_crawl(
         store.record_frontier_base(0)
     store.write(deduped.select("url_hash", "url", "bucket"), 0, "seen_delta")
 
-    if cfg.bloom_mode == "relational":
+    if resolve_bloom_relational(cfg):
         registry = None
         _write_bloom_base_relational(store, deduped, 0, cfg)
     else:
@@ -221,7 +235,7 @@ def resume(
                 "engine) — resume with the stored engine first"
             )
     robots_df = robots_table_df(spark, robots_hosts or _default_hosts(spec))
-    if cfg.bloom_mode == "relational":
+    if resolve_bloom_relational(cfg):
         # Bloom state IS the parquet rows — nothing driver-resident to
         # rebuild. If the checkpoint has no recorded base (it was created in
         # broadcast mode), one must be built from the exact seen table NOW:
@@ -431,6 +445,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             _t["_last"] = now
 
     spark, store, cfg = st.spark, st.store, st.cfg
+    _elig_cached = None
     if cfg.frontier_delta:
         frontier = store.read_frontier(r - 1)
         # deferral is DERIVED, not stored: a row first offers at
@@ -457,6 +472,11 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             )
         else:
             eligible = frontier.filter(modular)
+        # NOT persisted: the chain read is re-evaluated 2-3× per round
+        # (host stats, window join), but caching the eligible slice
+        # measured NEUTRAL at sf0.1 and -4% at the 1M-host tier (cache
+        # materialization under memory pressure costs more than the
+        # re-walk — BENCH notes round 3)
         ineligible = None  # never rewritten in the delta engine
     else:
         frontier = store.read(r - 1, "frontier")
@@ -504,7 +524,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
 
     # --- parse (U-6) -> candidates -> new (J1): single fused Arrow pass ----
     seen_df = store.read_seen(r - 1)
-    relational_bloom = cfg.bloom_mode == "relational"
+    relational_bloom = resolve_bloom_relational(cfg)
     cands = cand_mod.candidate_rows(
         docs_r,
         cfg,
@@ -656,6 +676,8 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     store.commit_round(
         r, {"selected": n_selected, "new": n_new, "frontier": n_frontier}
     )
+    if _elig_cached is not None:
+        _elig_cached.unpersist()
     ordered.unpersist()
     inner = getattr(ordered, "_cs_cached", None)
     if inner is not None:

@@ -113,3 +113,19 @@ def test_mode_switch_resume_builds_base(spark):
     oa = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st_ref).collect()]
     ob = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st2, ROUNDS).collect()]
     assert oa == ob
+
+
+def test_bloom_mode_auto_resolution():
+    """'auto' resolves by projected broadcast payload (n_buckets × m/8):
+    test scale stays broadcast; the 10^10 design point (4096 × ~290 KB ≈
+    1.2 GB) flips to relational with no config change."""
+    from crawlspark.round import resolve_bloom_relational
+
+    assert not resolve_bloom_relational(CrawlConfig())  # 64 × ~78 KB ≈ 5 MB
+    assert resolve_bloom_relational(
+        CrawlConfig(n_buckets=4096, bloom_capacity_per_bucket=2_441_406)
+    )
+    assert resolve_bloom_relational(CrawlConfig(bloom_mode="relational"))
+    assert not resolve_bloom_relational(
+        CrawlConfig(bloom_mode="broadcast", n_buckets=1 << 20)
+    )

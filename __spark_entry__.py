@@ -595,6 +595,23 @@ def _q_embed_neardup_allpairs(spark, sf_dir):
     return simsearch.embedding_neardup_allpairs(_tpch(spark, sf_dir, "embeddings"))
 
 
+def _q_neardup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: the banded pair tier feeds iterative
+    connected components (crawlspark/graphops.py — min-label propagation
+    as DataFrame joins, O(diameter) rounds) and each node gets its
+    cluster id = min vec_id of the component, with the canonical
+    representative flagged. The DuckDB oracle computes the same closure
+    with a recursive CTE."""
+    from crawlspark import graphops, simsearch
+
+    emb = _tpch(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + F.lit(10000000)).alias("vec_id"), "embedding"
+    )
+    pairs = simsearch.embedding_neardup_pairs(emb.unionByName(planted))
+    return graphops.dedup_clusters(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_extract": _q_link_extract,
@@ -639,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_probe_audit": _q_lsh_probe_audit,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_allpairs": _q_embed_neardup_allpairs,
+        "neardup_clusters": _q_neardup_clusters,
     }
 
 
@@ -1021,6 +1039,41 @@ def _textops_oracle_sql() -> dict[str, str]:
                    {_cos_sql('a.emb', 'b.emb')} AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE {_cos_sql('a.emb', 'b.emb')} >= 0.95
+            """,
+        "neardup_clusters": f"""
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            k AS (
+              SELECT vec_id, emb, 0 AS band_idx, {_band_sql('emb', 0)} AS band_val FROM e
+              UNION ALL
+              SELECT vec_id, emb, 1, {_band_sql('emb', 1)} FROM e
+              UNION ALL
+              SELECT vec_id, emb, 2, {_band_sql('emb', 2)} FROM e
+              UNION ALL
+              SELECT vec_id, emb, 3, {_band_sql('emb', 3)} FROM e
+            ),
+            cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM k a JOIN k b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                     AND a.vec_id < b.vec_id),
+            p AS (SELECT vec_a, vec_b
+                  FROM cand JOIN e ea ON ea.vec_id = cand.vec_a
+                            JOIN e eb2 ON eb2.vec_id = cand.vec_b
+                  WHERE {_cos_sql('ea.emb', 'eb2.emb')} >= 0.95),
+            sym AS (SELECT vec_a AS a, vec_b AS b FROM p
+                    UNION SELECT vec_b, vec_a FROM p),
+            reach(node, lbl) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT node AS vec_id, MIN(lbl) AS cluster_id,
+                   node = MIN(lbl) AS is_rep
+            FROM reach GROUP BY node
             """,
     }
 

@@ -129,3 +129,32 @@ def test_bloom_mode_auto_resolution():
     assert not resolve_bloom_relational(
         CrawlConfig(bloom_mode="broadcast", n_buckets=1 << 20)
     )
+
+
+def test_all_three_scale_features_compose(spark):
+    """Delta frontier (default) × adaptive politeness × relational Bloom —
+    the full 10^10-mode stack in one crawl — must stay oracle-bit-equal."""
+    cfg = CrawlConfig(
+        bloom_mode="relational",
+        bloom_rebroadcast_every=3,
+        adaptive_politeness=True,
+        compact_frontier_every=3,
+    )
+    spec = FetchSpec(not_found_mod=2)  # errors trip the adaptive multipliers
+    ckpt = "/tmp/crawlspark-test-rbloom-all3"
+    seeds = fixtures.seed_urls()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    st = rnd.init_crawl(
+        spark, spark.createDataFrame([(u,) for u in seeds], SEEDS), cfg, spec,
+        ckpt=ckpt,
+    )
+    infos = rnd.run_crawl(st, max_rounds=ROUNDS)
+    oracle = simulate(seeds, cfg, spec, max_rounds=ROUNDS)
+    got = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st).collect()]
+    assert got == oracle.crawl_order
+    assert [(i["round"], i["selected"], i["new"], i["frontier"]) for i in infos] == [
+        (o["round"], o["selected"], o["new"], o["frontier"]) for o in oracle.rounds
+    ]
+    seen = {r["url_hash"]: r["url"] for r in rnd.read_final_seen(st).collect()}
+    assert seen == oracle.seen
+    assert st.registry is None and st.bloom_base_bcast is None

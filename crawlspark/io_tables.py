@@ -162,29 +162,58 @@ class SnapshotStore:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path())
 
+    def write_frontier_delta(self, additions: DataFrame, removal_hashes: DataFrame,
+                             round_: int) -> None:
+        """ONE combined write per round: addition rows tagged op='add' and
+        removal hashes tagged op='del' (other columns null) land in a
+        single `frontier_delta_rows` dir — one Spark job instead of two,
+        and the chain read opens r dirs instead of 2r."""
+        from pyspark.sql import functions as F
+
+        delta = additions.withColumn("op", F.lit("add")).unionByName(
+            removal_hashes.select("url_hash").withColumn("op", F.lit("del")),
+            allowMissingColumns=True,
+        )
+        self.write(delta, round_, "frontier_delta_rows")
+
     def read_frontier(self, round_: int) -> DataFrame:
         """The frontier AFTER `round_` under the delta engine (raw nb₀
-        values — eligibility is derived by the scheduler)."""
+        values — eligibility is derived by the scheduler). Reads the
+        combined `frontier_delta_rows` layout; rounds written by older
+        code with split `frontier_additions`/`frontier_removals` dirs are
+        still honored (mixed chains resume cleanly)."""
         bases = [b for b in self.frontier_bases() if b <= round_]
         if not bases:  # plain engine (or base round itself)
             return self.read(round_, "frontier")
         b = max(bases)
         out = self.read(b, "frontier")
-        adds = [
-            self._dir(r, "frontier_additions")
-            for r in range(b + 1, round_ + 1)
-            if self.exists(r, "frontier_additions")
-        ]
-        if adds:
-            out = out.unionByName(self.spark.read.parquet(*adds))
-        rems = [
-            self._dir(r, "frontier_removals")
-            for r in range(b + 1, round_ + 1)
-            if self.exists(r, "frontier_removals")
-        ]
-        if rems:
-            removals = self.spark.read.parquet(*rems).select("url_hash")
-            out = out.join(removals, "url_hash", "left_anti")
+        combined, legacy_adds, legacy_rems = [], [], []
+        for r in range(b + 1, round_ + 1):
+            if self.exists(r, "frontier_delta_rows"):
+                combined.append(self._dir(r, "frontier_delta_rows"))
+            else:
+                if self.exists(r, "frontier_additions"):
+                    legacy_adds.append(self._dir(r, "frontier_additions"))
+                if self.exists(r, "frontier_removals"):
+                    legacy_rems.append(self._dir(r, "frontier_removals"))
+        from pyspark.sql import functions as F
+
+        adds_df = None
+        rems_df = None
+        if combined:
+            cdf = self.spark.read.parquet(*combined)
+            adds_df = cdf.filter(F.col("op") == "add").drop("op")
+            rems_df = cdf.filter(F.col("op") == "del").select("url_hash")
+        if legacy_adds:
+            la = self.spark.read.parquet(*legacy_adds)
+            adds_df = la if adds_df is None else adds_df.unionByName(la)
+        if legacy_rems:
+            lr = self.spark.read.parquet(*legacy_rems).select("url_hash")
+            rems_df = lr if rems_df is None else rems_df.unionByName(lr)
+        if adds_df is not None:
+            out = out.unionByName(adds_df)
+        if rems_df is not None:
+            out = out.join(rems_df, "url_hash", "left_anti")
         return out
 
     def read_deferrals(self, upto_round: int) -> DataFrame | None:

@@ -601,9 +601,9 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     )
     if cfg.frontier_delta:
         # O(batch) IO: selected hashes out, new rows in — the deferral bump
-        # for everything else is derived at read time, never written
-        store.write(ordered.select("url_hash"), r, "frontier_removals")
-        store.write(_frontier_shape(new_frontier_rows), r, "frontier_additions")
+        # for everything else is derived at read time, never written.
+        # One combined op-tagged write per round (io_tables docstring).
+        store.write_frontier_delta(_frontier_shape(new_frontier_rows), ordered, r)
         if cfg.adaptive_politeness and (
             prev_host_state is not None or "_nb_stored" in eligible.columns
         ):

@@ -58,22 +58,58 @@ def test_delta_engine_matches_oracle(spark):
 
 
 def test_delta_engine_is_physically_delta(spark):
+    from pyspark.sql import functions as F
+
     ckpt = "/tmp/crawlspark-test-fdelta2"
     st, infos = _crawl(spark, CFG, ckpt)
-    # non-base rounds write removals/additions and NO full frontier
+    # non-base rounds write ONE combined op-tagged delta and NO full frontier
     bases = set(st.store.frontier_bases())
     assert 0 in bases and 3 in bases  # compacted at compact_frontier_every
     for r in range(1, st.next_round):
-        assert st.store.exists(r, "frontier_removals")
-        assert st.store.exists(r, "frontier_additions")
+        assert st.store.exists(r, "frontier_delta_rows")
         if r not in bases:
             assert not os.path.exists(
                 os.path.join(ckpt, f"round={r}", "frontier", "_SUCCESS")
             )
-        n_rem = st.store.read(r, "frontier_removals").count()
-        n_add = st.store.read(r, "frontier_additions").count()
+        delta = st.store.read(r, "frontier_delta_rows")
+        n_rem = delta.filter(F.col("op") == "del").count()
+        n_add = delta.filter(F.col("op") == "add").count()
         assert n_rem == infos[r - 1]["selected"]
         assert n_add == infos[r - 1]["new"]
+
+
+def test_delta_engine_reads_legacy_split_layout(spark):
+    """A checkpoint written by the older split additions/removals layout
+    must keep resuming: rewrite one round's combined dir into the legacy
+    shape and re-read the chain."""
+    import shutil as sh
+
+    from pyspark.sql import functions as F
+
+    ckpt = "/tmp/crawlspark-test-fdelta-legacy"
+    st, _ = _crawl(spark, CFG, ckpt)
+    last = st.next_round - 1
+    target = None
+    for r in range(1, last + 1):
+        if r not in st.store.frontier_bases() and st.store.exists(r, "frontier_delta_rows"):
+            target = r
+            break
+    assert target is not None
+    before = sorted(
+        (row["url_hash"], row["not_before_round"])
+        for row in st.store.read_frontier(last).collect()
+    )
+    delta = st.store.read(target, "frontier_delta_rows")
+    st.store.write(delta.filter(F.col("op") == "add").drop("op"), target, "frontier_additions")
+    st.store.write(
+        delta.filter(F.col("op") == "del").select("url_hash"), target, "frontier_removals"
+    )
+    sh.rmtree(os.path.join(ckpt, f"round={target}", "frontier_delta_rows"))
+    after = sorted(
+        (row["url_hash"], row["not_before_round"])
+        for row in st.store.read_frontier(last).collect()
+    )
+    assert after == before
 
 
 def test_delta_engine_resume_exact(spark):

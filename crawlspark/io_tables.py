@@ -6,8 +6,11 @@ directory-per-round parquet layout with a JSON manifest:
 
     <ckpt>/round=<r>/frontier/          full frontier AFTER round r (delta
                                         engine: only at BASE rounds)
-    <ckpt>/round=<r>/frontier_removals/ delta engine: url_hash fetched in r
-    <ckpt>/round=<r>/frontier_additions/delta engine: rows discovered in r
+    <ckpt>/round=<r>/frontier_delta_rows/ delta engine: ONE op-tagged dir
+                                        per round (op='add' rows discovered,
+                                        op='del' url_hash fetched); the older
+                                        split additions/removals layout is
+                                        still readable
     <ckpt>/round=<r>/frontier_deferrals/delta × adaptive: sparse stored
                                         exceptions (rows whose deferral
                                         diverged from the derivable
@@ -28,10 +31,13 @@ directory-per-round parquet layout with a JSON manifest:
 
 Reading the seen set at round r = parquet glob over seen_delta of rounds
 0..r — append-only, so per-round write cost is O(new URLs), not O(seen).
-The frontier IS rewritten whole per round here; the Iceberg engine variant
-would express the same update as a row-level MERGE (delete selected rows,
-update deferred rows, append new rows — O(batch) row churn, with Iceberg
-compacting underneath). The seam keeps both engines API-compatible:
+The frontier advances as an O(batch) delta by DEFAULT (removals+additions
+in one op-tagged dir; deferrals derived, adaptive exceptions stored
+sparsely); the stored engine (frontier_delta=False) rewrites it whole per
+round. The Iceberg engine variant expresses the same update as a
+row-level MERGE (delete selected rows, update deferred rows, append new
+rows — O(batch) row churn, with Iceberg compacting underneath). The seam
+keeps both engines API-compatible:
 swap `SnapshotStore` for an Iceberg-backed implementation with the same
 five methods and `crawlspark.round` does not change.
 """
@@ -141,8 +147,9 @@ class SnapshotStore:
 
     # -- delta frontier engine (cfg.frontier_delta) -------------------------
     # Layout: full `frontier` directories exist only at BASE rounds (init +
-    # every compact_frontier_every); other rounds write `frontier_removals`
-    # (url_hash of selected rows) + `frontier_additions` (new FRONTIER rows).
+    # every compact_frontier_every); other rounds write ONE op-tagged
+    # `frontier_delta_rows` dir (op='del' selected url_hashes, op='add'
+    # new FRONTIER rows; the legacy split layout remains readable).
     # A url_hash is added at most once and removed at most once, and the
     # removal always follows the addition (seen-set guarantee), so
     #   frontier(r) = (base(b) ∪ additions(b+1..r)) ∖ removals(b+1..r)

@@ -495,6 +495,26 @@ def _q_lsh_verified(spark, sf_dir):
     return textops.lsh_verified_pairs(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_doc_dedup_clusters(spark, sf_dir):
+    """Document dedup CLUSTERING: the LSH-verified pair tier (exact n-gram
+    Jaccard keyed to band candidates) feeds connected components; each doc
+    gets cluster_id = min doc_id of its near-dup component with the
+    canonical representative flagged — the keep/drop decision of a
+    training-data dedup pipeline. Oracle = recursive-CTE closure over the
+    same verified pair SQL."""
+    from crawlspark import graphops, textops
+
+    pairs = textops.lsh_verified_pairs(_tpch(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    cc = graphops.connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_rep"),
+    )
+
+
 def _q_lsh_band_stats(spark, sf_dir):
     from crawlspark import textops
 
@@ -657,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_allpairs": _q_embed_neardup_allpairs,
         "neardup_clusters": _q_neardup_clusters,
+        "doc_dedup_clusters": _q_doc_dedup_clusters,
     }
 
 
@@ -1285,4 +1306,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o.o_custkey ASC LIMIT 50
             """,
     })
+    # document dedup clusters = recursive closure over the lsh_verified
+    # pair query (a CTE body may itself start with WITH in DuckDB)
+    out["doc_dedup_clusters"] = f"""
+        WITH RECURSIVE p AS (
+          {out["lsh_verified"]}
+        ),
+        sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+        reach(node, lbl) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+        )
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+               node = MIN(lbl) AS is_rep
+        FROM reach GROUP BY node
+        """
     return out

@@ -60,7 +60,9 @@ def bench_crawl(spark) -> dict:
         round_capacity=None,
         shuffle_partitions=max(CPUS, 8),
         n_buckets=64,
-        frontier_delta=os.environ.get("CRAWLSPARK_FRONTIER_DELTA", "1") == "1",
+        frontier_delta={"1": True, "0": False}.get(
+            os.environ.get("CRAWLSPARK_FRONTIER_DELTA", "auto"), "auto"
+        ),
         compact_frontier_every=int(os.environ.get("CRAWLSPARK_COMPACT_EVERY", "8")),
         bloom_mode=os.environ.get("CRAWLSPARK_BLOOM_MODE", "auto"),
     )

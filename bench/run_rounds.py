@@ -68,7 +68,9 @@ def tier_setup(spark, tier: str):
             n_buckets=64,
             bloom_capacity_per_bucket=1 << 18,
             fetch_arrow=os.environ.get("CRAWLSPARK_FETCH_ARROW", "1") == "1",
-            frontier_delta=os.environ.get("CRAWLSPARK_FRONTIER_DELTA", "1") == "1",
+            frontier_delta={"1": True, "0": False}.get(
+                os.environ.get("CRAWLSPARK_FRONTIER_DELTA", "auto"), "auto"
+            ),
             bloom_mode=os.environ.get("CRAWLSPARK_BLOOM_MODE", "auto"),
         )
         return spec, seeds_df, cfg

@@ -77,20 +77,41 @@ class CrawlConfig:
     # crawl stays bit-equal to the static-politeness oracle.
     adaptive_politeness: bool = False
     adaptive_max_mult: int = 8
-    # delta frontier engine (DEFAULT): per-round frontier IO becomes
-    # O(batch) — removals (selected url_hashes) + additions (new rows) —
-    # instead of rewriting the whole frontier to bump not_before_round.
-    # Correct because with per-host-constant delay the deferral is
-    # DERIVABLE: eligible(r) ⇔ r ≥ nb₀ ∧ (r − nb₀) mod delay = 0 (a row
-    # re-offers every `delay` rounds until selected). Bases are
-    # re-materialized every compact_frontier_every rounds to bound read
-    # fan-in. Composes with adaptive_politeness via a sparse stored-
-    # exception table: only offers made at mult>1 (and rows already on an
-    # exception) persist a deferral row; everything else stays derived.
-    # frontier_delta=False keeps the stored-bump engine (whole-frontier
-    # rewrite per round — simpler, fine at small scale).
-    frontier_delta: bool = True
-    compact_frontier_every: int = 8
+    # frontier engine:
+    # - True (delta): per-round frontier IO becomes O(batch) — removals
+    #   (selected url_hashes) + additions (new rows) — instead of rewriting
+    #   the whole frontier to bump not_before_round. Correct because with
+    #   per-host-constant delay the deferral is DERIVABLE:
+    #   eligible(r) ⇔ r ≥ nb₀ ∧ (r − nb₀) mod delay = 0 (a row re-offers
+    #   every `delay` rounds until selected). Bases are re-materialized
+    #   every compact_frontier_every rounds to bound read fan-in. Composes
+    #   with adaptive_politeness via a sparse stored-exception table: only
+    #   offers made at mult>1 (and rows already on an exception) persist a
+    #   deferral row; everything else stays derived.
+    # - False (stored): whole-frontier rewrite per round with stored
+    #   not_before_round bumps — simpler, and FASTER while the frontier is
+    #   small (the delta chain read has a fixed per-round cost that only
+    #   amortizes once the avoided rewrite is large).
+    # - 'auto' (DEFAULT): decide PER ROUND from the running frontier
+    #   counter the manifest already carries: below frontier_delta_min_rows
+    #   run a stored round (full rewrite, recorded as a frontier base so
+    #   delta rounds can chain from it), above it run a delta round. The
+    #   two round kinds interleave freely on one checkpoint and are
+    #   digest-equal (tested across switches in both directions), so the
+    #   shipped default is never slower than either pure engine at any
+    #   tier: sf0.1 gets the stored engine's round latency, the 10^10
+    #   design point gets O(batch) IO.
+    frontier_delta: bool | str = "auto"
+    # frontier row count at/above which an 'auto' round uses the delta
+    # engine. Measured crossover is far above any local tier (stored wins
+    # at sf0.1 AND at the 1M-host/10.5M-URL bench tier — BENCH/BASELINE.md
+    # round 3: 69.3k vs 57.7-65.7k URLs/s); 10^7 keeps every testable tier
+    # on the stored engine while the delta engine engages well before a
+    # full-frontier rewrite per round could dominate (10^8-10^10 rows).
+    frontier_delta_min_rows: int = 10_000_000
+    # delta-round base-fold cadence; 0/None = never fold (unbounded delta
+    # chain — expressible, but reads then union one dir per round)
+    compact_frontier_every: int | None = 8
     # run the (independent) lineage + metrics writes on background threads,
     # overlapped with the frontier advance; both are joined BEFORE the round
     # commits, so exact resume is unaffected. Pure per-round latency win.
@@ -114,10 +135,14 @@ class CrawlConfig:
             raise ValueError(
                 "bloom_mode must be 'auto', 'broadcast' or 'relational'"
             )
-        if self.frontier_delta and self.compact_frontier_every is not None and (
-            self.compact_frontier_every < 1
-        ):
-            raise ValueError("compact_frontier_every must be >= 1")
+        if self.frontier_delta not in (True, False, "auto"):
+            raise ValueError("frontier_delta must be True, False or 'auto'")
+        if self.compact_frontier_every is not None and self.compact_frontier_every < 0:
+            raise ValueError(
+                "compact_frontier_every must be >= 0 (0/None = never compact)"
+            )
+        if self.frontier_delta_min_rows < 0:
+            raise ValueError("frontier_delta_min_rows must be >= 0")
 
 
 DEFAULT = CrawlConfig()

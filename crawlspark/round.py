@@ -132,13 +132,47 @@ def resolve_bloom_relational(cfg: CrawlConfig) -> bool:
     return cfg.n_buckets * (m // 8) > cfg.bloom_broadcast_max_bytes
 
 
-def _resolve_robots_mode(cfg: CrawlConfig, robots_df: DataFrame | None) -> bool:
+def resolve_frontier_delta(cfg: CrawlConfig, store: SnapshotStore, r: int) -> bool:
+    """Per-round frontier-engine choice. 'auto' (default) selects by the
+    running frontier counter the manifest already carries: below
+    cfg.frontier_delta_min_rows the stored engine's single full rewrite is
+    cheaper than the delta chain's fixed per-round read cost (measured:
+    stored ~1.65k vs delta ~1.44-1.54k URLs/s at sf0.1, 69.3k vs
+    57.7-65.7k at the 1M-host tier — BENCH/BASELINE.md round 3); above it
+    the O(batch) delta IO is the only sane choice (a 10^10-row frontier
+    cannot be rewritten whole every round). A stored auto round records a
+    frontier base, so the two round kinds interleave freely on one
+    checkpoint — digest-equality across switches in both directions is
+    tested (test_frontier_delta).
+
+    A missing counter (legacy checkpoint) resolves to stored: the stored
+    round needs no counter and its Observation write re-seeds one, so auto
+    self-heals instead of failing."""
+    if cfg.frontier_delta is True:
+        return True
+    if not cfg.frontier_delta:
+        return False
+    info = store.read_manifest().get("round_info", {}).get(str(r - 1), {})
+    n = info.get("frontier")
+    return n is not None and int(n) >= cfg.frontier_delta_min_rows
+
+
+def _resolve_robots_mode(
+    cfg: CrawlConfig, robots_df: DataFrame | None, n_hosts: int | None = None
+) -> bool:
     """Auto-select the robots mode by rule-bearing host count: the dict
     broadcast is a pickled python closure — fine to ~10^5-10^6 hosts, a
-    driver chokepoint beyond. One cheap dim count at init/resume."""
+    driver chokepoint beyond. When the caller already knows the TOTAL host
+    count (it built robots_df from a driver-side list) and it is at or
+    below the threshold, the rule-bearing count can't exceed it — skip the
+    Spark action entirely (it was the single largest init_crawl cold-start
+    cost at small tiers). The count only runs for large host tables, where
+    it is one cheap dim aggregate."""
     if cfg.robots_relational:
         return True
     if robots_df is None:
+        return False
+    if n_hosts is not None and n_hosts <= cfg.robots_relational_threshold:
         return False
     n = robots_df.filter(
         (F.size("allow_prefixes") > 0) | (F.size("disallow_prefixes") > 0)
@@ -161,7 +195,8 @@ def init_crawl(
     """Round-0 state: canonicalized+filtered seeds become frontier and seen."""
     cfg.validate()
     store = SnapshotStore(spark, ckpt)
-    robots_df = robots_table_df(spark, robots_hosts or _default_hosts(spec))
+    _hosts = robots_hosts or _default_hosts(spec)
+    robots_df = robots_table_df(spark, _hosts)
 
     seeds = seeds_df.select("url").withColumn("priority", F.lit(0)).withColumn(
         "crawl_depth", F.lit(0)
@@ -195,7 +230,7 @@ def init_crawl(
     store.commit_round(0, {"stage": "init", "frontier": n_frontier0})
     return CrawlState(
         spark, store, cfg, spec, robots_df, registry, next_round=1,
-        robots_relational=_resolve_robots_mode(cfg, robots_df),
+        robots_relational=_resolve_robots_mode(cfg, robots_df, len(_hosts)),
     )
 
 
@@ -228,13 +263,16 @@ def resume(
                 )
             store.record_frontier_base(last)
         info = store.read_manifest().get("round_info", {}).get(str(last), {})
-        if "frontier" not in info:
+        if "frontier" not in info and cfg.frontier_delta is True:
+            # 'auto' tolerates this: a counter-less checkpoint resolves to a
+            # stored round, whose Observation write re-seeds the counter
             raise ValueError(
                 f"cannot resume with frontier_delta: round {last} committed "
                 "without a frontier counter (checkpoint predates the delta "
                 "engine) — resume with the stored engine first"
             )
-    robots_df = robots_table_df(spark, robots_hosts or _default_hosts(spec))
+    _hosts = robots_hosts or _default_hosts(spec)
+    robots_df = robots_table_df(spark, _hosts)
     if resolve_bloom_relational(cfg):
         # Bloom state IS the parquet rows — nothing driver-resident to
         # rebuild. If the checkpoint has no recorded base (it was created in
@@ -247,7 +285,7 @@ def resume(
                 _write_bloom_base_relational(store, seen_all, last, cfg)
         return CrawlState(
             spark, store, cfg, spec, robots_df, None, next_round=last + 1,
-            robots_relational=_resolve_robots_mode(cfg, robots_df),
+            robots_relational=_resolve_robots_mode(cfg, robots_df, len(_hosts)),
         )
     bloom_rows = store.read(last, "bloom").collect()
     registry = BloomRegistry.from_rows(
@@ -260,7 +298,7 @@ def resume(
     )
     return CrawlState(
         spark, store, cfg, spec, robots_df, registry, next_round=last + 1,
-        robots_relational=_resolve_robots_mode(cfg, robots_df),
+        robots_relational=_resolve_robots_mode(cfg, robots_df, len(_hosts)),
     )
 
 
@@ -446,7 +484,8 @@ def crawl_round(st: CrawlState, r: int) -> dict:
 
     spark, store, cfg = st.spark, st.store, st.cfg
     _elig_cached = None
-    if cfg.frontier_delta:
+    use_delta = resolve_frontier_delta(cfg, store, r)
+    if use_delta:
         frontier = store.read_frontier(r - 1)
         # deferral is DERIVED, not stored: a row first offers at
         # f = max(nb0, 1) and re-offers every delay_slots rounds until
@@ -479,7 +518,15 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         # re-walk — BENCH notes round 3)
         ineligible = None  # never rewritten in the delta engine
     else:
-        frontier = store.read(r - 1, "frontier")
+        if cfg.frontier_delta:
+            # stored round under 'auto': the previous round may have been a
+            # delta round, so materialize the stored-convention view (base ∪
+            # chain with not_before_round = next offer round). Idempotent
+            # when r-1 is itself a stored base — every nb there is already
+            # > r-1, so the derived expression keeps it unchanged.
+            frontier = _effective_frontier(store, r - 1)
+        else:
+            frontier = store.read(r - 1, "frontier")
         eligible = frontier.filter(F.col("not_before_round") <= r)
         ineligible = frontier.filter(F.col("not_before_round") > r)
     prev_host_state = None
@@ -599,7 +646,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         st.robots_df,
         cfg,
     )
-    if cfg.frontier_delta:
+    if use_delta:
         # O(batch) IO: selected hashes out, new rows in — the deferral bump
         # for everything else is derived at read time, never written.
         # One combined op-tagged write per round (io_tables docstring).
@@ -659,6 +706,11 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             frontier_next.observe(obs_fr, F.count(F.lit(1)).alias("n")), r, "frontier"
         )
         n_frontier = int(obs_fr.get["n"])
+        if cfg.frontier_delta:
+            # 'auto' stored round: the full frontier just written IS a base
+            # (stored-convention nb) — record it so a later delta round
+            # chains from here and earlier deferral exceptions fold away
+            store.record_frontier_base(r)
     _tick("frontier")
 
     if lm_futures:

@@ -235,3 +235,129 @@ def test_resume_delta_requires_frontier_counter(spark):
         json.dump(m, f)
     with pytest.raises(ValueError, match="frontier counter"):
         rnd.resume(spark, ckpt, CFG, FetchSpec())
+
+
+def test_auto_engine_switches_both_directions_matches_oracle(spark):
+    """frontier_delta='auto' (the shipped default) decides per round from
+    the manifest's running frontier counter. Force a stored→delta switch
+    and a delta→stored switch mid-crawl (threshold crossings via resume)
+    and assert the mixed run is bit-equal to the oracle on crawl order,
+    counters, seen set, and the reconstructed frontier snapshot — the
+    two round kinds must interleave freely on one checkpoint."""
+    ckpt = "/tmp/crawlspark-test-fauto"
+    seeds = fixtures.seed_urls()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cfg_stored = CrawlConfig(
+        frontier_delta="auto", compact_frontier_every=3,
+        frontier_delta_min_rows=10**9,
+    )
+    cfg_delta = cfg_stored.with_(frontier_delta_min_rows=0)
+
+    st = rnd.init_crawl(
+        spark, spark.createDataFrame([(u,) for u in seeds], SEEDS),
+        cfg_stored, FetchSpec(), ckpt=ckpt,
+    )
+    infos = rnd.run_crawl(st, max_rounds=2)            # rounds 1-2: stored
+    st = rnd.resume(spark, ckpt, cfg_delta, FetchSpec())
+    infos += rnd.run_crawl(st, max_rounds=4)           # rounds 3-4: delta
+    st = rnd.resume(spark, ckpt, cfg_stored, FetchSpec())
+    infos += rnd.run_crawl(st, max_rounds=ROUNDS)      # round 5: stored
+
+    oracle = simulate(seeds, cfg_stored, FetchSpec(), max_rounds=ROUNDS)
+    got = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st).collect()]
+    assert got == oracle.crawl_order
+    assert [(i["round"], i["selected"], i["new"], i["frontier"]) for i in infos] == [
+        (o["round"], o["selected"], o["new"], o["frontier"]) for o in oracle.rounds
+    ]
+    seen = {r["url_hash"]: r["url"] for r in rnd.read_final_seen(st).collect()}
+    assert seen == oracle.seen
+    last = st.next_round - 1
+    got_f = {
+        r["url_hash"]: (r["url"], r["not_before_round"])
+        for r in rnd.read_frontier_view(st, last).collect()
+    }
+    exp_f = {
+        e.url_hash: (e.url, e.not_before_round)
+        for e in oracle.frontier_by_round[last]
+    }
+    assert got_f == exp_f
+
+    # physical shape proves the switches actually happened: stored rounds
+    # wrote full frontiers recorded as bases, delta rounds wrote delta dirs
+    bases = set(st.store.frontier_bases())
+    assert {0, 1, 2, 5} <= bases
+    for r in (1, 2, 5):
+        assert not st.store.exists(r, "frontier_delta_rows")
+    assert st.store.exists(4, "frontier_delta_rows")
+    assert not os.path.exists(
+        os.path.join(ckpt, "round=4", "frontier", "_SUCCESS")
+    )
+
+
+def test_auto_engine_adaptive_switches_matches_oracle(spark):
+    """auto × adaptive politeness: the stored round folds the sparse
+    deferral exceptions into its base (stored-convention nb) and later
+    delta rounds re-derive from it — same oracle, switches mid-crawl."""
+    spec = FetchSpec(not_found_mod=2)
+    ckpt = "/tmp/crawlspark-test-fauto-adaptive"
+    seeds = fixtures.seed_urls()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cfg_stored = CrawlConfig(
+        frontier_delta="auto", adaptive_politeness=True,
+        compact_frontier_every=3, frontier_delta_min_rows=10**9,
+    )
+    cfg_delta = cfg_stored.with_(frontier_delta_min_rows=0)
+
+    st = rnd.init_crawl(
+        spark, spark.createDataFrame([(u,) for u in seeds], SEEDS),
+        cfg_delta, spec, ckpt=ckpt,
+    )
+    rnd.run_crawl(st, max_rounds=3)                    # rounds 1-3: delta
+    st = rnd.resume(spark, ckpt, cfg_stored, spec)
+    rnd.run_crawl(st, max_rounds=4)                    # round 4: stored
+    st = rnd.resume(spark, ckpt, cfg_delta, spec)
+    rnd.run_crawl(st, max_rounds=ROUNDS)               # round 5: delta
+
+    oracle = simulate(seeds, cfg_stored, spec, max_rounds=ROUNDS)
+    got = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st).collect()]
+    assert got == oracle.crawl_order
+    seen = {r["url_hash"]: r["url"] for r in rnd.read_final_seen(st).collect()}
+    assert seen == oracle.seen
+    last = st.next_round - 1
+    got_f = {
+        r["url_hash"]: (r["url"], r["not_before_round"])
+        for r in rnd.read_frontier_view(st, last).collect()
+    }
+    exp_f = {
+        e.url_hash: (e.url, e.not_before_round)
+        for e in oracle.frontier_by_round[last]
+    }
+    assert got_f == exp_f
+    assert 4 in st.store.frontier_bases()  # the stored round recorded a base
+
+
+def test_auto_engine_self_heals_counterless_checkpoint(spark):
+    """'auto' on a checkpoint without a frontier counter must NOT raise
+    (only frontier_delta=True does): the first auto round resolves to
+    stored, whose observed write re-seeds the counter."""
+    import json
+
+    ckpt = "/tmp/crawlspark-test-fauto-nocounter"
+    _crawl(spark, CrawlConfig(frontier_delta=False), ckpt, rounds=2)
+    mpath = os.path.join(ckpt, "_manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    for info in m.get("round_info", {}).values():
+        info.pop("frontier", None)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    cfg_auto = CrawlConfig(frontier_delta="auto", compact_frontier_every=3)
+    st = rnd.resume(spark, ckpt, cfg_auto, FetchSpec())
+    rnd.run_crawl(st, max_rounds=ROUNDS)
+    m2 = st.store.read_manifest()
+    assert "frontier" in m2["round_info"][str(ROUNDS)]
+
+    st_ref, _ = _crawl(spark, CFG, "/tmp/crawlspark-test-fauto-nocounter-ref")
+    oa = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st_ref).collect()]
+    ob = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st, ROUNDS).collect()]
+    assert oa == ob

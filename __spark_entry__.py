@@ -610,9 +610,18 @@ def _q_embed_neardup(spark, sf_dir):
 
 
 def _q_embed_neardup_allpairs(spark, sf_dir):
+    """Sampled all-pairs recall oracle for the banded tier. The raw fixture
+    sample (vec_id % 101 == 0) holds no ≥0.95-cosine pairs at this SF, so
+    both sides PLANT id-shifted exact duplicates whose shift (101 × 10^5)
+    keeps BOTH ends inside the sample slice — the all-pairs cosine + the
+    threshold then assert on real rows instead of 0=0 emptiness."""
     from crawlspark import simsearch
 
-    return simsearch.embedding_neardup_allpairs(_tpch(spark, sf_dir, "embeddings"))
+    emb = _tpch(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 101 == 0).select(
+        (F.col("vec_id") + F.lit(10100000)).alias("vec_id"), "embedding"
+    )
+    return simsearch.embedding_neardup_allpairs(emb.unionByName(planted))
 
 
 def _q_neardup_clusters(spark, sf_dir):
@@ -1054,8 +1063,13 @@ def _textops_oracle_sql() -> dict[str, str]:
             WHERE {_cos_sql('ea.emb', 'eb2.emb')} >= 0.95
             """,
         "embed_neardup_allpairs": f"""
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                       FROM embeddings WHERE vec_id % 101 = 0)
+            WITH u AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10100000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 101 = 0
+            ),
+            e AS (SELECT vec_id, emb FROM u WHERE vec_id % 101 = 0)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    {_cos_sql('a.emb', 'b.emb')} AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id

@@ -31,13 +31,32 @@ ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "4"))
 SF_NAME = os.path.basename(os.path.normpath(SF_DIR))
 
 
+def _default_shuffle() -> int:
+    """Size shuffle partitions to the tier's round batch, not the core
+    count: at sf0.1 a round moves ~12k rows, and 32 tiny stages pay more
+    in fixed per-stage scheduling than they gain in parallelism (measured
+    A/B at sf0.1: 8 partitions 1394 URLs/s vs 32 partitions ~1215 — the
+    shuffle work itself is milliseconds either way). At the 10^10 design
+    point the same rule yields thousands of partitions; this is the local
+    analog, ~250 hosts (≈6k candidate rows) per partition, floor 8."""
+    try:
+        from crawlspark.fixtures import spec_for_sf
+
+        return max(8, min(CPUS, spec_for_sf(SF_NAME).n_hosts // 250))
+    except Exception:
+        return max(CPUS, 8)
+
+
+SHUFFLE = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or _default_shuffle()
+
+
 def build_spark():
     from pyspark.sql import SparkSession
 
     return (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName(f"crawlspark-bench-{SF_NAME}")
-        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.shuffle.partitions", str(SHUFFLE))
         .config("spark.sql.adaptive.enabled", "false")  # serial driver latency at local scale; ON for real clusters
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -58,7 +77,7 @@ def bench_crawl(spark) -> dict:
     cfg = CrawlConfig(
         max_fetches_per_host_per_round=16,
         round_capacity=None,
-        shuffle_partitions=max(CPUS, 8),
+        shuffle_partitions=SHUFFLE,
         n_buckets=64,
         frontier_delta={"1": True, "0": False}.get(
             os.environ.get("CRAWLSPARK_FRONTIER_DELTA", "auto"), "auto"

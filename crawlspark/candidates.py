@@ -114,24 +114,11 @@ def candidate_rows(
                 pdf["base_url"].astype(object), pdf["ref"].astype(object), alive
             )
 
-            # canonicalize: the ~90% provably-canonical fast path is one
-            # vectorized capture (host+path fall out of the same regex);
-            # only the remainder pays the full python parse
-            us = pd.Series(urls, dtype="object")
-            cap = us.str.extract(urlnorm._FAST_CANON_CAP, expand=True)
-            fast = cap[0].notna().to_numpy(bool) & alive
-            hosts = np.full(n, None, dtype=object)
-            paths = np.full(n, None, dtype=object)
-            hosts[fast] = cap[0].to_numpy(object)[fast]
-            paths[fast] = cap[1].to_numpy(object)[fast]
-            for i in np.nonzero(alive & ~fast & (urls != None))[0]:  # noqa: E711
-                u = urlnorm.canon_url(urls[i])
-                if u is None:
-                    urls[i] = None
-                    continue
-                urls[i] = u
-                hosts[i] = urlnorm.host_of(u) or None
-                paths[i] = urlnorm.path_of(u)
+            # canonicalize: three tiers, all inside urlnorm.canon_batch —
+            # the ~90% provably-canonical fast capture, the vectorized
+            # case/port/dot-segment assist (catches every dotted relative
+            # link), and the scalar canon_url only for the odd remainder
+            urls, hosts, paths = urlnorm.canon_batch(urls, alive)
 
             lens = np.fromiter(
                 (len(u) if u is not None else 0 for u in urls), np.int64, n

@@ -116,7 +116,13 @@ class CrawlConfig:
     # overlapped with the frontier advance; both are joined BEFORE the round
     # commits, so exact resume is unaffected. Pure per-round latency win.
     async_lineage_metrics: bool = True
-    compact_seen_every: int | None = None  # compact seen deltas every N rounds  # measured: mapInPandas beats the flat-builder mapInArrow variant (BENCH notes)
+    # Fold seen deltas into one bucket-clustered snapshot every N rounds
+    # (run_crawl cadence; 0/None = never). DEFAULT ON, matching
+    # compact_frontier_every: read_seen unions one seen_delta dir per round
+    # since the last compaction, so an uncompacted crawl of thousands of
+    # rounds degrades into an unbounded file-listing + union fan-in — the
+    # exact failure the compaction machinery exists to prevent.
+    compact_seen_every: int | None = 8
 
     def with_(self, **kw) -> "CrawlConfig":
         return replace(self, **kw)

@@ -5,23 +5,30 @@ representative per cluster).
 
 Algorithm: iterative min-label propagation expressed as DataFrame joins —
 each iteration every node adopts the minimum label among itself and its
-neighbors; convergence when no label changes (checked by a count
-aggregate, one job per iteration). This is the classic MapReduce CC
-formulation (cf. Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14 — public literature); plain propagation converges in
-O(diameter) rounds, which is the right trade for near-dup graphs whose
-components are tiny and shallow (dup clusters, not social graphs). For
-adversarially deep graphs raise max_iter or swap in the large-star /
-small-star step — the join shape is identical.
+neighbors, then labels are SHORTCUT through the label graph (lbl :=
+lbl(lbl), the pointer-jumping step of the classic MapReduce CC family —
+cf. Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — public literature). Plain propagation alone needs O(diameter)
+rounds; the shortcut step makes label distances collapse geometrically, so
+convergence is O(log diameter) — a path graph of diameter ~2^max_iter
+converges within max_iter iterations, removing the silent-truncation
+hazard a deep transitive near-dup chain (A~B~C~…, easy to produce at
+100 TB with chained paraphrases) would otherwise hit. Convergence is
+still CHECKED (no label changed; one count aggregate per iteration), and
+exhausting max_iter without converging RAISES instead of returning wrong
+partial labels.
 
 Scale notes:
-- each iteration is ONE shuffle join keyed on node id plus a map-side-
-  combined min-aggregate — no driver-side adjacency, no collect;
+- each iteration is two shuffle joins keyed on node/label id plus a
+  map-side-combined min-aggregate — no driver-side adjacency, no collect;
 - lineage is truncated with localCheckpoint every `checkpoint_every`
   iterations so the plan does not grow with iteration count;
 - labels start as node ids and only ever decrease, so the converged label
   IS the minimum node id of the component — making `component` double as
-  the canonical-representative id (is_rep = node == component).
+  the canonical-representative id (is_rep = node == component);
+- the returned DataFrame is eagerly localCheckpoint-ed and every interior
+  persist is released before returning, so repeated calls (e.g. per-round
+  dedup) do not accumulate cached blocks.
 """
 
 from __future__ import annotations
@@ -38,7 +45,11 @@ def connected_components(
     checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`; component =
-    min node id of the connected component."""
+    min node id of the connected component. Raises RuntimeError if labels
+    have not converged after max_iter iterations (with the shortcut step
+    that needs a component diameter around 2^max_iter — unreachable for
+    any real dedup graph, so a raise means the input or iteration budget
+    is pathological, never a silently wrong clustering)."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
         sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -51,12 +62,27 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    converged = False
     for i in range(max_iter):
         prop = sym.join(
             labels.select(F.col("node").alias("b"), "lbl"), "b"
         ).select(F.col("a").alias("node"), "lbl")
-        new_labels = (
+        mins = (
             labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+        # shortcut (pointer jumping): every label is itself a node id whose
+        # own label only ever decreases — jumping to it halves the label
+        # distance to the component minimum each iteration
+        new_labels = (
+            mins.alias("x")
+            .join(
+                mins.select(
+                    F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+                ).alias("y"),
+                "lbl",
+                "left",
+            )
+            .select("node", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
@@ -71,9 +97,20 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
-    return labels.select("node", F.col("lbl").alias("component"))
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations — refusing to return partial (wrong) cluster labels"
+        )
+    out = labels.select("node", F.col("lbl").alias("component")).localCheckpoint(
+        eager=True
+    )
+    labels.unpersist()
+    return out
 
 
 def dedup_clusters(pairs: DataFrame, a: str = "vec_a", b: str = "vec_b") -> DataFrame:

@@ -287,7 +287,38 @@ def resume(
             spark, store, cfg, spec, robots_df, None, next_round=last + 1,
             robots_relational=_resolve_robots_mode(cfg, robots_df, len(_hosts)),
         )
-    bloom_rows = store.read(last, "bloom").collect()
+    if store.exists(last, "bloom"):
+        bloom_rows = store.read(last, "bloom").collect()
+    else:
+        # Mode-switch resume (relational checkpoint → broadcast engine):
+        # relational mode persists bloom rows only at BASE rounds, so the
+        # last round usually has none — without this the resume died in an
+        # opaque parquet path-not-found. Rebuild full base rows DISTRIBUTED
+        # from the exact seen table (driver sees only per-bucket counts and
+        # ≤P blob rows) and adopt them — the symmetric analog of the
+        # broadcast→relational direction above. FP behavior may differ
+        # from an unbroken broadcast run (growth history restarts), which
+        # is harmless: the exact anti-join tier downstream absorbs FPs.
+        seen_all = store.read_seen(last)
+        if seen_all is None:
+            raise ValueError(
+                f"cannot resume round {last} in bloom_mode='broadcast': "
+                "no bloom snapshot at that round and no seen rows to "
+                "rebuild one from"
+            )
+        counts = {
+            int(r["bucket"]): int(r["n"])
+            for r in seen_all.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        caps = {
+            b: seen_mod.sized_capacity(cfg.bloom_capacity_per_bucket, n)
+            for b, n in counts.items()
+        }
+        bloom_rows = seen_mod.build_bloom_base(
+            seen_all, caps, cfg.bloom_fpp, cfg.bloom_capacity_per_bucket
+        ).collect()
     registry = BloomRegistry.from_rows(
         [
             (r["bucket"], r["blob"], r["m_bits"], r["k_hashes"], r["n_items"], r["capacity"])

@@ -90,6 +90,108 @@ _FAST_CANON = re.compile(f"^https?://{_FAST_HOST}{_FAST_PATH}$")
 # so the capture IS host_of/path_of for these rows)
 _FAST_CANON_CAP = re.compile(f"^https?://({_FAST_HOST})({_FAST_PATH})$")
 
+# Slow-path ASSIST tier: rows that miss the fast regex only by scheme/host
+# letter case, an explicit port, or simple dot-segments are still
+# str-op-able — lowercase + default-port drop + meaning-preserving
+# dot-segment reduction passes, all vectorized. Still conservative: no
+# userinfo, no query/fragment, no percent-encoding, and the row is only
+# ACCEPTED if the reduced path has no '.' left at all (anything else —
+# file dots, unreduced segments, trailing '/.'-semantics — falls through
+# to the scalar canon_url, which stays the definition).
+_SLOW_HOST = (
+    r"[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?"
+    r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*"
+)
+_SLOW_CANON_CAP = re.compile(
+    rf"^([Hh][Tt][Tt][Pp][Ss]?)://({_SLOW_HOST})(?::([0-9]+))?"
+    rf"((?:/[A-Za-z0-9\-_~./]*)?)$"
+)
+# one '<seg>/../' pop (seg can itself be '..' — popping it matches the RFC
+# stack result, see canon_batch) and the drop of root-level '../' runs
+_POP_DOTSEG = re.compile(r"/[^/]+/\.\./")
+_LEAD_DOTSEG = re.compile(r"^/(?:\.\./)+")
+
+
+def canon_batch(urls, alive):
+    """Vectorized canonicalization of an object ndarray of absolute URLs →
+    (canon_urls, hosts, paths) object ndarrays; rows outside `alive` (or
+    unusable) stay None. Three tiers, each provably equal to canon_url on
+    the rows it accepts (property-tested in tests/test_urlnorm.py):
+
+    1. already-canonical fast capture (~90% of crawl links);
+    2. the vectorized assist above (case / default port / dot-segments —
+       the dominant residue: every dotted relative link lands here);
+    3. scalar canon_url for the remainder.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n = len(urls)
+    out = np.array(urls, dtype=object)
+    hosts = np.full(n, None, dtype=object)
+    paths = np.full(n, None, dtype=object)
+    us = pd.Series(urls, dtype="object")
+
+    cap = us.str.extract(_FAST_CANON_CAP, expand=True)
+    fast = cap[0].notna().to_numpy(bool) & alive
+    hosts[fast] = cap[0].to_numpy(object)[fast]
+    paths[fast] = cap[1].to_numpy(object)[fast]
+
+    todo = alive & ~fast & us.notna().to_numpy(bool)
+    if todo.any():
+        cap2 = us.str.extract(_SLOW_CANON_CAP, expand=True)
+        m = todo & cap2[0].notna().to_numpy(bool)
+        if m.any():
+            scheme = cap2[0].str.lower()
+            host = cap2[1].str.lower()
+            port = cap2[2]
+            path = cap2[3].fillna("")
+            path = path.where(path != "", "/")
+            # '/a/b/..' and '/a/.' re-add a trailing slash in the RFC
+            # algorithm — scalar tier handles those
+            endbad = path.str.endswith(("/.", "/.."), na=False)
+            # meaning-preserving reduction to a fixpoint: each pass removes
+            # '/./', pops one '<seg>/../' per site (left-to-right, which IS
+            # the stack order — a seg of '..' only ever pops when a
+            # preceding '..' survived to its left, and dropping both
+            # matches the root-level '..' drop), then drops root '../'
+            for _ in range(8):
+                p2 = path.str.replace("/./", "/", regex=False)
+                p2 = p2.str.replace(_POP_DOTSEG, "/", regex=True)
+                p2 = p2.str.replace(_LEAD_DOTSEG, "/", regex=True)
+                if p2.equals(path):
+                    break
+                path = p2
+            accept = (
+                m
+                & ~endbad.to_numpy(bool)
+                & ~path.str.contains(".", regex=False, na=True).to_numpy(bool)
+            )
+            if accept.any():
+                default_port = (
+                    port.isna()
+                    | ((scheme == "http") & (port == "80"))
+                    | ((scheme == "https") & (port == "443"))
+                )
+                hostport = host.where(default_port, host + ":" + port)
+                rebuilt = scheme + "://" + hostport + path
+                out[accept] = rebuilt.to_numpy(object)[accept]
+                # host_of excludes the port, path_of has no query here
+                hosts[accept] = host.to_numpy(object)[accept]
+                paths[accept] = path.to_numpy(object)[accept]
+                todo = todo & ~accept
+
+    for i in np.nonzero(todo)[0]:
+        u = canon_url(urls[i])
+        if u is None:
+            out[i] = None
+            continue
+        out[i] = u
+        hosts[i] = host_of(u) or None
+        paths[i] = path_of(u)
+    out[~alive] = None
+    return out, hosts, paths
+
 
 def canon_url(url: str | None) -> str | None:
     """Canonicalize an absolute URL. Returns None for unusable input."""
@@ -175,24 +277,23 @@ def resolve_batch(bases, refs, alive=None):
     if alive is None:
         alive = np.ones(n, dtype=bool)
 
-    is_abs = r.str.startswith(("http://", "https://")).fillna(False).to_numpy(bool)
+    is_abs = r.str.startswith(("http://", "https://"), na=False).to_numpy(bool)
     m_abs = alive & is_abs
     urls[m_abs] = r.to_numpy(object)[m_abs]
 
     b_ok = b.notna().to_numpy(bool)
-    b_http = b.str.startswith(("http://", "https://")).fillna(False).to_numpy(bool)
-    is_pr = r.str.startswith("//").fillna(False).to_numpy(bool) & ~is_abs
+    b_http = b.str.startswith(("http://", "https://"), na=False).to_numpy(bool)
+    is_pr = r.str.startswith("//", na=False).to_numpy(bool) & ~is_abs
     m_pr = alive & is_pr & b_ok & b_http
     if m_pr.any():
         scheme = (
-            b.str.startswith("https://")
-            .fillna(False)
+            b.str.startswith("https://", na=False)
             .map({True: "https:", False: "http:"})
         )
         vals = scheme + r
         urls[m_pr] = vals.where(vals.notna(), None).to_numpy(object)[m_pr]
 
-    is_pa = r.str.startswith("/").fillna(False).to_numpy(bool) & ~is_pr & ~is_abs
+    is_pa = r.str.startswith("/", na=False).to_numpy(bool) & ~is_pr & ~is_abs
     m_pa = alive & is_pa & b_ok
     if m_pa.any():
         prefix = b.str.extract(r"^(https?://[^/?#]*)", expand=False)
@@ -212,13 +313,13 @@ def resolve_batch(bases, refs, alive=None):
         & ~is_pa
         & (r.str.len() > 0).to_numpy(bool)
         & ~r.str.contains(r"^[^/]*:", regex=True, na=False).to_numpy(bool)
-        & ~r.str.startswith(("?", "#")).fillna(False).to_numpy(bool)
+        & ~r.str.startswith(("?", "#"), na=False).to_numpy(bool)
         & ~r.str.contains("//", regex=False, na=False).to_numpy(bool)
         & (b.str.count("//").fillna(0) <= 1).to_numpy(bool)
     )
     if plain.any():
         dirp = b.str.extract(r"^(https?://[^/?#]*(?:[^?#]*/)?)", expand=False)
-        dirp = dirp.where(dirp.str.endswith("/").fillna(False) | dirp.isna(), dirp + "/")
+        dirp = dirp.where(dirp.str.endswith("/", na=False) | dirp.isna(), dirp + "/")
         vals = dirp + r
         urls[plain] = vals.where(vals.notna(), None).to_numpy(object)[plain]
 

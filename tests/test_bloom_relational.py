@@ -115,6 +115,32 @@ def test_mode_switch_resume_builds_base(spark):
     assert oa == ob
 
 
+def test_mode_switch_resume_relational_to_broadcast(spark):
+    """The REVERSE switch (relational checkpoint resumed in broadcast mode)
+    must rebuild the driver registry from the exact seen table when the
+    last round carries no bloom snapshot (relational mode persists bloom
+    rows only at base rounds) — previously an opaque parquet
+    path-not-found. Crawl results must match an unbroken broadcast run
+    (FP-history differences are absorbed by the exact anti-join tier)."""
+    ckpt = "/tmp/crawlspark-test-rbloom-switch-back"
+    # relational checkpoint whose LAST round is not a bloom base
+    # (rebroadcast_every=3 -> bases at 0 and 3; last round = 4)
+    _crawl(spark, CFG, ckpt, rounds=4)
+    assert not os.path.exists(
+        os.path.join(ckpt, "round=4", "bloom", "_SUCCESS")
+    )
+    st2 = rnd.resume(spark, ckpt, CrawlConfig(bloom_mode="broadcast"), FetchSpec())
+    assert st2.registry is not None and st2.registry.filters
+    rnd.run_crawl(st2, max_rounds=ROUNDS)
+    st_ref, _ = _crawl(
+        spark, CrawlConfig(bloom_mode="broadcast"),
+        "/tmp/crawlspark-test-rbloom-switch-back-ref",
+    )
+    oa = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st_ref).collect()]
+    ob = [(r["round"], r["seq"], r["url"]) for r in rnd.read_crawl_order(st2, ROUNDS).collect()]
+    assert oa == ob
+
+
 def test_bloom_mode_auto_resolution():
     """'auto' resolves by projected broadcast payload (n_buckets × m/8):
     test scale stays broadcast; the 10^10 design point (4096 × ~290 KB ≈

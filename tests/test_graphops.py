@@ -69,3 +69,38 @@ def test_planted_neardups_cluster_together(spark):
     assert originals, "fixture has no planted base ids"
     for v in originals:
         assert by_id.get(v + 10000000) == by_id.get(v) == v
+
+
+def test_cc_pathological_diameter_converges_fast(spark):
+    """A 200-node path (diameter 199 >> max_iter=25) must still converge:
+    the pointer-jumping shortcut collapses label distance geometrically, so
+    O(log diameter) iterations suffice — the scenario that previously
+    returned silently WRONG split labels past the iteration cap."""
+    edges = [(i, i + 1) for i in range(1000, 1199)]
+    got = _cc(spark, edges, max_iter=25)
+    assert set(got.values()) == {1000}
+    assert len(got) == 200
+
+
+def test_cc_raises_on_exhausted_iterations(spark):
+    """If the budget genuinely cannot converge, the call must RAISE — never
+    return partial labels (they would be wrong cluster assignments)."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(0, 30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graphops.connected_components(df, max_iter=1)
+
+
+def test_cc_releases_cached_blocks(spark):
+    """Repeated calls must not accumulate persisted blocks (the result is
+    localCheckpoint-materialized; interior persists are released)."""
+    before = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    for _ in range(3):
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        graphops.connected_components(df).collect()
+    after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    # localCheckpoint RDDs of the 3 results may linger until GC; persisted
+    # iteration intermediates must not (bounded, not linear in iterations)
+    assert after - before <= 3

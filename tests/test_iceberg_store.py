@@ -85,16 +85,38 @@ def test_commit_round_escapes_backslashes():
 
 
 def test_overwrite_requires_dynamic_partition_mode():
-    """overwrite_round_sql is an un-specced INSERT OVERWRITE — correct ONLY
-    under dynamic partitionOverwriteMode (static mode truncates the whole
-    table). The store's __init__ must set AND verify the conf."""
+    """The SQL-fallback path (writer_v2=False) uses an un-specced INSERT
+    OVERWRITE — correct ONLY under dynamic partitionOverwriteMode (static
+    mode truncates the whole table). The fallback enabler must set AND
+    verify the conf, and the session-global side effect must be gated
+    behind the fallback (never run on the default v2 path)."""
     import textwrap
 
-    src = inspect.getsource(ice.IcebergSnapshotStore.__init__)
+    src = inspect.getsource(ice.IcebergSnapshotStore._enable_dynamic_overwrite)
     assert "spark.sql.sources.partitionOverwriteMode" in src
     assert '"dynamic"' in src
     # and the failure path exists (asserted, not just set)
     assert "RuntimeError" in textwrap.dedent(src)
+    # __init__ itself must NOT touch the conf except via the gated fallback
+    init_src = inspect.getsource(ice.IcebergSnapshotStore.__init__)
+    assert "conf.set" not in init_src
+    assert "_enable_dynamic_overwrite" in init_src
+    assert "if not writer_v2" in init_src
+
+
+def test_default_write_path_is_writer_v2_overwrite_partitions():
+    """The default per-round overwrite goes through DataFrameWriterV2's
+    overwritePartitions() — dynamic overwrite semantics carried by the
+    plan with no session-conf dependency; the append-only seen table uses
+    v2 append. The SQL INSERT OVERWRITE form remains only as the
+    writer_v2=False fallback."""
+    src = inspect.getsource(ice.IcebergSnapshotStore.write)
+    assert ".overwritePartitions()" in src
+    assert ".append()" in src
+    assert "if self.writer_v2" in src
+    # v2 default in the constructor signature
+    sig = inspect.signature(ice.IcebergSnapshotStore.__init__)
+    assert sig.parameters["writer_v2"].default is True
 
 
 def test_maintenance_procedures():

@@ -71,3 +71,55 @@ def test_fp_audit_rate(spark, data):
         seen_df.select("url_hash"), "url_hash", "left_semi"
     ).count()
     assert missed == 0
+
+
+def test_seen_compaction_bounds_union_fanin(spark):
+    """compact_seen_every (DEFAULT 8) must keep read_seen's union bounded:
+    after a long crawl the read is one compacted snapshot + at most
+    `every` delta dirs — never one dir per round since round 0 — and the
+    compacted read stays value-equal to the raw delta union."""
+    import shutil
+
+    from crawlspark import fixtures
+    from crawlspark import round as rnd
+    from crawlspark.config import CrawlConfig
+    from crawlspark.fetch_spec import FetchSpec
+    from crawlspark.schemas import SEEDS
+
+    every = 3
+    rounds = 8
+    cfg = CrawlConfig(compact_seen_every=every, compact_frontier_every=3)
+    ckpt = "/tmp/crawlspark-test-seen-compact"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    st = rnd.init_crawl(
+        spark,
+        spark.createDataFrame([(u,) for u in fixtures.seed_urls()], SEEDS),
+        cfg, FetchSpec(), ckpt=ckpt,
+    )
+    rnd.run_crawl(st, max_rounds=rounds)
+    store = st.store
+    last = st.next_round - 1
+
+    c = store.last_compaction(last)
+    assert c is not None and c >= last - every, (c, last)
+    n_delta_dirs = sum(
+        1 for r in range(c + 1, last + 1) if store.exists(r, "seen_delta")
+    )
+    assert n_delta_dirs <= every
+    assert store.exists(c, "seen_full")
+
+    # value equality: compacted read == raw union of every delta dir
+    got = sorted(
+        (r["url_hash"], r["url"], r["bucket"])
+        for r in store.read_seen(last).collect()
+    )
+    raw_dirs = [
+        f"{ckpt}/round={r}/seen_delta"
+        for r in range(0, last + 1)
+        if store.exists(r, "seen_delta")
+    ]
+    raw = sorted(
+        (r["url_hash"], r["url"], r["bucket"])
+        for r in spark.read.parquet(*raw_dirs).collect()
+    )
+    assert got == raw

@@ -132,3 +132,74 @@ def test_resolve_batch_property(base, ref):
     gc = canon_url(got) if got is not None else None
     wc = canon_url(want) if want is not None else None
     assert gc == wc, f"ref={ref!r}: {gc!r} != {wc!r}"
+
+
+CANON_BATCH_CASES = [
+    "http://h3.example/p/123",
+    "HTTP://H0.EXAMPLE:80/",
+    "https://h6.example:443/tls",
+    "http://h2.example:8080/x",
+    "http://h1.example/a/../b/c",
+    "http://h1.example/a/b/../../c",
+    "http://h1.example/../p/9",
+    "http://h1.example/p/../p/44",
+    "http://h1.example/./x",
+    "http://h1.example/a/.",
+    "http://h1.example/a/b/..",
+    "http://h1.example/x#frag",
+    "http://h1.example/x?utm_source=1&q=2",
+    "http://h4.example/%7euser/%41bc",
+    "http://h1.example/file.html",
+    "http://h1.example/.../x",
+    "ftp://h9.example/skip",
+    None,
+    "http://h1.example",
+    "http://User@h1.example/x",
+    "HTTPS://H2.EXAMPLE/A/../b",
+    "http://h1.example/a//b/../c",
+    "http://h1.example/../../x",
+    "http://h1.example/a/../../x",
+    "http://h1.example/x.",
+]
+
+
+def test_canon_batch_equals_scalar_on_goldens():
+    """Every tier of canon_batch (fast capture, vectorized assist, scalar
+    fallback) must agree with canon_url / host_of / path_of elementwise."""
+    import numpy as np
+
+    from crawlspark import urlnorm
+
+    urls = np.array(CANON_BATCH_CASES, dtype=object)
+    out, hosts, paths = urlnorm.canon_batch(urls, np.ones(len(urls), bool))
+    for u, o, h, p in zip(CANON_BATCH_CASES, out, hosts, paths):
+        exp = urlnorm.canon_url(u)
+        assert o == exp, (u, o, exp)
+        if exp is not None:
+            assert h == urlnorm.host_of(exp), (u, h)
+            assert p == urlnorm.path_of(exp), (u, p)
+
+
+@given(
+    st.text(alphabet="abAB019-_~./", max_size=30),
+    st.sampled_from(["http://", "HTTP://", "https://", "HtTpS://"]),
+    st.sampled_from(["h0.example", "H0.EXAMPLE", "h0.example:80",
+                     "H1.Example:443", "h2.example:8080"]),
+)
+@settings(max_examples=500, deadline=None)
+def test_canon_batch_property(path, scheme, hostport):
+    """Property: canon_batch ≡ canon_url on arbitrary case/port/dot-segment
+    paths (the assist tier's whole acceptance envelope plus rejections)."""
+    import numpy as np
+
+    from crawlspark import urlnorm
+
+    u = f"{scheme}{hostport}/{path}"
+    out, hosts, paths = urlnorm.canon_batch(
+        np.array([u], dtype=object), np.ones(1, bool)
+    )
+    exp = urlnorm.canon_url(u)
+    assert out[0] == exp, (u, out[0], exp)
+    if exp is not None:
+        assert hosts[0] == urlnorm.host_of(exp)
+        assert paths[0] == urlnorm.path_of(exp)

@@ -539,6 +539,46 @@ def _q_ngram_jaccard(spark, sf_dir):
     return textops.ngram_jaccard_adjacent(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: a deterministic slice of the corpus
+    (doc_id % 89 == 0) stands in for the evaluation set; every other doc
+    sharing a 3-word shingle with it is flagged with the count of distinct
+    overlapping shingles. The bench shingle set is broadcast; the training
+    side joins WITHOUT a corpus-wide pre-distinct (textops.decontaminate
+    scale notes)."""
+    from crawlspark import textops
+
+    docs = _tpch(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    train = docs.filter(F.col("doc_id") % 89 != 0)
+    return textops.decontaminate(train, bench)
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetitiousness signals: per-doc duplicated-2-gram
+    fraction (pure codegen, no shuffle) + most-common-word share (two
+    map-side-combined aggregates)."""
+    from crawlspark import textops
+
+    return textops.repetition_stats(_tpch(spark, sf_dir, "documents"))
+
+
+SAMPLE_CUTOFFS = {"src0": 256, "src1": 192, "src2": 128, "src3": 64}
+SAMPLE_DEFAULT = 32
+
+
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling by source (training-mix
+    weighting): keep-fraction per source in 1/256 steps via a
+    lexicographic compare of the first md5 byte — no RNG, identical
+    membership at any parallelism, filter pushed to the scan."""
+    from crawlspark import textops
+
+    return textops.hash_sample(
+        _tpch(spark, sf_dir, "documents"), SAMPLE_CUTOFFS, default=SAMPLE_DEFAULT
+    )
+
+
 def _q_token_stats(spark, sf_dir):
     from crawlspark import textops
 
@@ -675,6 +715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_stats": _q_lsh_band_stats,
         "simhash_docs": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "hash_sample": _q_hash_sample,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
@@ -921,6 +964,44 @@ def _textops_oracle_sql() -> dict[str, str]:
                                   - len(list_intersect(a.grams, b.grams)))
                           ELSE 0.0 END, 6) AS jaccard
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            """,
+        "repetition_stats": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            g AS (SELECT doc_id, len(ws) AS n_words, {_sh_sql(2)} AS tg FROM w),
+            base AS (SELECT doc_id, n_words, len(tg) AS n_2grams,
+                            len(tg) - len(list_distinct(tg)) AS n_dup_2grams
+                     FROM g),
+            e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            tc AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_count
+                   FROM (SELECT doc_id, word, COUNT(*) AS c FROM e
+                         GROUP BY doc_id, word) GROUP BY doc_id)
+            SELECT b.doc_id, b.n_2grams, b.n_dup_2grams,
+                   round(CASE WHEN b.n_2grams > 0
+                         THEN CAST(b.n_dup_2grams AS DOUBLE) / b.n_2grams
+                         ELSE 0.0 END, 6) AS dup_2gram_frac,
+                   COALESCE(tc.top_word_count, 0) AS top_word_count,
+                   round(CASE WHEN b.n_words > 0
+                         THEN CAST(COALESCE(tc.top_word_count, 0) AS DOUBLE)
+                              / b.n_words
+                         ELSE 0.0 END, 6) AS top_word_frac
+            FROM base b LEFT JOIN tc ON tc.doc_id = b.doc_id
+            """,
+        "decontaminate": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            s AS (SELECT doc_id, {_sh_sql(3)} AS sh FROM w),
+            e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+            hh AS (SELECT doc_id, md5(shingle) AS h FROM e),
+            b AS (SELECT DISTINCT h FROM hh WHERE doc_id % 89 = 0),
+            t AS (SELECT doc_id, h FROM hh WHERE doc_id % 89 <> 0)
+            SELECT t.doc_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_hit_shingles
+            FROM t JOIN b USING (h) GROUP BY t.doc_id
+            """,
+        "hash_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     substr(md5(CAST(doc_id AS VARCHAR) || '#smp'), 1, 2) AS b2
+              FROM documents)
+            WHERE b2 < CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN 'c0' WHEN 'src2' THEN '80' WHEN 'src3' THEN '40' ELSE '20' END
             """,
         "token_stats": f"""
             SELECT doc_id, len({_WORDS}) AS n_ws_tokens,

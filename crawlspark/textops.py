@@ -332,3 +332,124 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(shingles_col(words_col(), n=5)).alias("window")
     )
     return sh.groupBy("doc_id").agg(F.min(F.md5("window")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# pipeline curation: benchmark decontamination + deterministic sampling
+# ---------------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 3) -> DataFrame:
+    """Benchmark decontamination — the train/eval overlap-removal step of a
+    training-data pipeline (GPT-3/PaLM-style n-gram decontamination,
+    public literature): flag every training doc sharing at least one word
+    n-gram with an evaluation/benchmark set, with the count of distinct
+    overlapping shingles as evidence.
+
+    Scale shape: the bench side (a benchmark suite — tiny next to 100 TB
+    of training text) is reduced to DISTINCT shingle hashes and BROADCAST;
+    the training side explodes to (doc_id, shingle_hash) and takes the
+    broadcast join with NO pre-distinct (distinct-ing the full corpus
+    would be a corpus-wide shuffle — countDistinct after the join touches
+    only the colliding rows, with map-side partials). Returns one row per
+    CONTAMINATED doc: (doc_id, n_hit_shingles)."""
+    tr = docs.select(
+        "doc_id", F.explode(shingles_col(words_col(), n=n)).alias("sh")
+    ).select("doc_id", F.md5("sh").alias("h"))
+    be = (
+        bench.select(F.explode(shingles_col(words_col(), n=n)).alias("sh"))
+        .select(F.md5("sh").alias("h"))
+        .distinct()
+    )
+    return (
+        tr.join(F.broadcast(be), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").cast("bigint").alias("n_hit_shingles"))
+    )
+
+
+def hash_sample(docs: DataFrame, cutoffs: dict[str, int], default: int = 0,
+                salt: str = "smp") -> DataFrame:
+    """Deterministic per-source stratified sampling — the mix-weighting
+    step of a training-data pipeline (down-sample low-quality sources,
+    keep high-quality ones whole) with NO RNG state: membership is a pure
+    function of doc_id, so the sample is reproducible across runs,
+    cluster sizes, and engines.
+
+    `cutoffs` maps source → keep-threshold in 1/256 steps (256 = keep
+    all); a doc survives iff its first md5 byte (as two hex chars, compared
+    LEXICOGRAPHICALLY — identical semantics in any engine with md5 and
+    string compare, no hex→int conversion needed) is below the cutoff.
+    One scan, no shuffle, no sort: the filter pushes into the scan and the
+    output is the surviving (doc_id, source) rows."""
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#" + salt))), 1, 2
+    )
+    thresh = None
+    for src, cut in sorted(cutoffs.items()):
+        hex2 = format(min(max(cut, 0), 256) , "03x")[-2:] if cut < 256 else "zz"
+        # 256 -> 'zz' sorts above every hex pair = keep all
+        cond = F.col("source") == src
+        t = F.lit(hex2)
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        thresh.otherwise(F.lit(format(min(max(default, 0), 255), "02x")))
+        if thresh is not None
+        else F.lit(format(min(max(default, 0), 255), "02x"))
+    )
+    return docs.select("doc_id", "source", bucket.alias("bucket2")).filter(
+        F.col("bucket2") < thresh
+    ).select("doc_id", "source")
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetitiousness quality signals (Gopher-style filtering rules,
+    public literature): fraction of duplicated word 2-grams inside each
+    doc and the frequency share of the doc's most common word — both
+    strong boilerplate/low-quality indicators in training-data curation.
+
+    Scale shape: the 2-gram part is pure per-row JVM (size vs
+    array_distinct size inside codegen, no shuffle); the top-word part is
+    explode → (doc_id, word) count → per-doc max — two map-side-combined
+    aggregates keyed on doc_id, the same cardinality class as every other
+    per-doc aggregate here."""
+    ws = words_col()
+    two = shingles_col(ws, n=2)
+    base = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.size(two).alias("n_2grams"),
+        (F.size(two) - F.size(F.array_distinct(two))).alias("n_dup_2grams"),
+    )
+    per_word = (
+        docs.select("doc_id", F.explode(words_col()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    return (
+        base.join(per_word, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_2grams",
+            "n_dup_2grams",
+            F.round(
+                F.when(
+                    F.col("n_2grams") > 0,
+                    F.col("n_dup_2grams").cast("double") / F.col("n_2grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_2gram_frac"),
+            F.coalesce(F.col("top_word_count"), F.lit(0)).cast("bigint").alias(
+                "top_word_count"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.coalesce(F.col("top_word_count"), F.lit(0)).cast("double")
+                    / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_word_frac"),
+        )
+    )

@@ -379,8 +379,10 @@ def hash_sample(docs: DataFrame, cutoffs: dict[str, int], default: int = 0,
     all); a doc survives iff its first md5 byte (as two hex chars, compared
     LEXICOGRAPHICALLY — identical semantics in any engine with md5 and
     string compare, no hex→int conversion needed) is below the cutoff.
-    One scan, no shuffle, no sort: the filter pushes into the scan and the
-    output is the surviving (doc_id, source) rows."""
+    One scan, no shuffle, no sort: the predicate is computed, so it
+    evaluates inside the scan stage's codegen (not parquet-pushed — only
+    doc_id and source are read) and the output is the surviving
+    (doc_id, source) rows."""
     bucket = F.substring(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#" + salt))), 1, 2
     )

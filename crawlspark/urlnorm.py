@@ -283,7 +283,13 @@ def resolve_batch(bases, refs, alive=None):
 
     b_ok = b.notna().to_numpy(bool)
     b_http = b.str.startswith(("http://", "https://"), na=False).to_numpy(bool)
-    is_pr = r.str.startswith("//", na=False).to_numpy(bool) & ~is_abs
+    # protocol-relative fast path REQUIRES a non-empty authority ('//' with
+    # nothing — or a '/', '?', '#' — after it is treated by CPython's
+    # urljoin as an empty/path reference, not an authority; hypothesis
+    # found '//' diverging). Any other '//'-prefixed ref is excluded from
+    # BOTH fast paths and falls to the urljoin remainder loop.
+    starts_dslash = r.str.startswith("//", na=False).to_numpy(bool)
+    is_pr = r.str.match(r"//[^/?#]", na=False).to_numpy(bool) & ~is_abs
     m_pr = alive & is_pr & b_ok & b_http
     if m_pr.any():
         scheme = (
@@ -293,7 +299,7 @@ def resolve_batch(bases, refs, alive=None):
         vals = scheme + r
         urls[m_pr] = vals.where(vals.notna(), None).to_numpy(object)[m_pr]
 
-    is_pa = r.str.startswith("/", na=False).to_numpy(bool) & ~is_pr & ~is_abs
+    is_pa = r.str.startswith("/", na=False).to_numpy(bool) & ~starts_dslash & ~is_abs
     m_pa = alive & is_pa & b_ok
     if m_pa.any():
         prefix = b.str.extract(r"^(https?://[^/?#]*)", expand=False)
@@ -315,7 +321,7 @@ def resolve_batch(bases, refs, alive=None):
         & ~r.str.contains(r"^[^/]*:", regex=True, na=False).to_numpy(bool)
         & ~r.str.startswith(("?", "#"), na=False).to_numpy(bool)
         & ~r.str.contains("//", regex=False, na=False).to_numpy(bool)
-        & (b.str.count("//").fillna(0) <= 1).to_numpy(bool)
+        & (b.str.count("//").astype("float64").fillna(0) <= 1).to_numpy(bool)
     )
     if plain.any():
         dirp = b.str.extract(r"^(https?://[^/?#]*(?:[^?#]*/)?)", expand=False)

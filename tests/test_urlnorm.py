@@ -203,3 +203,25 @@ def test_canon_batch_property(path, scheme, hostport):
     if exp is not None:
         assert hosts[0] == urlnorm.host_of(exp)
         assert paths[0] == urlnorm.path_of(exp)
+
+
+def test_resolve_batch_empty_authority_refs():
+    """Regression (hypothesis-found): '//' with an empty-or-degenerate
+    authority is treated by CPython's urljoin as an empty/path reference,
+    NOT a protocol-relative one — the vectorized fast paths must exclude
+    every such ref (they fall to the urljoin remainder loop)."""
+    import pandas as pd
+
+    from crawlspark.urlnorm import canon_url, resolve_batch, resolve_url
+
+    refs = ["//", "///x", "//?q", "//#f", "////", "//h", "//:8080/x"]
+    for base in ["http://h0.example/a/b", "https://h1.example/"]:
+        got = resolve_batch(
+            pd.Series([base] * len(refs), dtype="object"),
+            pd.Series(refs, dtype="object"),
+        )
+        for ref, g in zip(refs, got):
+            want = resolve_url(base, ref)
+            gc = canon_url(g) if g is not None else None
+            wc = canon_url(want) if want is not None else None
+            assert gc == wc, (base, ref, gc, wc)

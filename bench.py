@@ -112,6 +112,7 @@ def bench_crawl(spark) -> dict:
         ),
         compact_frontier_every=int(os.environ.get("CRAWLSPARK_COMPACT_EVERY", "8")),
         bloom_mode=os.environ.get("CRAWLSPARK_BLOOM_MODE", "auto"),
+        fetch_arrow=os.environ.get("CRAWLSPARK_FETCH_ARROW", "0") == "1",
     )
     ckpt = f"/tmp/crawlspark-bench-{SF_NAME}-{CPUS}"
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -681,6 +681,122 @@ def _q_neardup_clusters(spark, sf_dir):
     return graphops.dedup_clusters(pairs)
 
 
+def _pii_augmented(docs):
+    """Deterministically plant PII-shaped strings (the synthetic corpus has
+    none — without planting, the PII query would be a vacuous 0=0 match):
+    doc_id%7 gets an email, %11 an IPv4, %13 a long dashed number. The
+    identical CASE expressions are mirrored in the oracle SQL."""
+    t2 = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" call 555-0100-"),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t2.alias("text"))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (textops.pii_scrub): per-doc counts of
+    email / IPv4 / long-number matches plus the md5 of the redacted text.
+    Pure per-row JVM regex in codegen; patterns restricted to the
+    Java-regex ∩ RE2 subset so DuckDB matches identically."""
+    from crawlspark import textops
+
+    return textops.pii_scrub(_pii_augmented(_tpch(spark, sf_dir, "documents")))
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Corpus-frequency boilerplate line removal (CCNet-style): planted
+    newline-separated boilerplate lines (doc_id%5 / %10) clear the
+    min_df=3 document-frequency bar and are dropped everywhere; planted
+    rare lines (%50) and the original text lines survive. The removal
+    join broadcasts ONLY the few common lines."""
+    from crawlspark import textops
+
+    docs = _tpch(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("\nsubscribe to our newsletter")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 10 == 0, F.lit("\nall rights reserved 2026")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.lit("\nrare line "), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return textops.line_dedup(docs.select("doc_id", t2.alias("text")), min_df=3)
+
+
+def _q_corpus_mix(spark, sf_dir):
+    """Training-mix accounting (textops.corpus_mix): per-source doc /
+    token / char totals + token share — one map-side-combined groupBy."""
+    from crawlspark import textops
+
+    return textops.corpus_mix(_tpch(spark, sf_dir, "documents"))
+
+
+def _q_embed_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column
+    (simsearch.embed_quantize): per-vector scale, code digest, and mean
+    absolute reconstruction error — pure JVM higher-order functions."""
+    from crawlspark import simsearch
+
+    return simsearch.embed_quantize(
+        _tpch(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+
+def _q_token_shards(spark, sf_dir):
+    """Token-budget sharding (textops.token_shards): contiguous ~1000-token
+    training shards via the two-pass prefix sum — per-bucket window + tiny
+    broadcast offsets, never a single-partition global window."""
+    from crawlspark import textops
+
+    return textops.token_shards(
+        _tpch(spark, sf_dir, "documents"), budget=1000, bucket_width=64
+    )
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (simsearch.semantic_dedup): IVF
+    centroid assignment bounds the quadratic pair step per cluster, then
+    pointer-jumping connected components pick one representative per
+    near-dup group. Planted identical copies (vec_id%97, +10000000) make
+    the result non-vacuous; the oracle mirrors assignment, pairing, and
+    closure (recursive CTE) in SQL."""
+    from crawlspark import simsearch
+
+    emb = _tpch(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + F.lit(10000000)).alias("vec_id"), "embedding"
+    )
+    return simsearch.semantic_dedup(emb.unionByName(planted))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_extract": _q_link_extract,
@@ -730,6 +846,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_allpairs": _q_embed_neardup_allpairs,
         "neardup_clusters": _q_neardup_clusters,
         "doc_dedup_clusters": _q_doc_dedup_clusters,
+        "pii_scrub": _q_pii_scrub,
+        "line_dedup": _q_line_dedup,
+        "corpus_mix": _q_corpus_mix,
+        "embed_quantize": _q_embed_quantize,
+        "semantic_dedup": _q_semantic_dedup,
+        "token_shards": _q_token_shards,
     }
 
 
@@ -848,6 +970,9 @@ def _textops_oracle_sql() -> dict[str, str]:
         LSH_BAND_CAP as _LSH_CAP,
         LSH_BANDS,
         MINHASH_K,
+        PII_EMAIL as _PII_EMAIL,
+        PII_IPV4 as _PII_IPV4,
+        PII_LONGNUM as _PII_LONGNUM,
         STOPWORDS,
         TOKEN_REGEX,
     )
@@ -1180,6 +1305,124 @@ def _textops_oracle_sql() -> dict[str, str]:
                   FROM cand JOIN e ea ON ea.vec_id = cand.vec_a
                             JOIN e eb2 ON eb2.vec_id = cand.vec_b
                   WHERE {_cos_sql('ea.emb', 'eb2.emb')} >= 0.95),
+            sym AS (SELECT vec_a AS a, vec_b AS b FROM p
+                    UNION SELECT vec_b, vec_a FROM p),
+            reach(node, lbl) AS (
+              SELECT a, a FROM sym
+              UNION
+              SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT node AS vec_id, MIN(lbl) AS cluster_id,
+                   node = MIN(lbl) AS is_rep
+            FROM reach GROUP BY node
+            """,
+        "pii_scrub": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' call 555-0100-' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+                     AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t, '{_PII_LONGNUM}')) AS BIGINT) AS n_longnums,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_IPV4}', '<IP>', 'g'),
+                          '{_PII_LONGNUM}', '<NUM>', 'g')) AS clean_md5
+            FROM d
+            """,
+        "line_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+                     || CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'all rights reserved 2026' ELSE '' END
+                     || CASE WHEN doc_id % 50 = 0 THEN chr(10) || 'rare line ' || CAST(doc_id AS VARCHAR) ELSE '' END
+                     AS t
+              FROM documents),
+            l AS (SELECT doc_id, list_filter(string_split(t, chr(10)), x -> x <> '') AS ls FROM d),
+            ex AS (SELECT doc_id, u['pos'] AS pos, u['line'] AS line FROM (
+                     SELECT doc_id,
+                            unnest([{'pos': i, 'line': ls[i]} for i in generate_series(1, len(ls))]) AS u
+                     FROM l)),
+            hh AS (SELECT doc_id, pos, line, md5(line) AS h FROM ex),
+            freq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM hh GROUP BY h),
+            kept AS (SELECT doc_id, pos, line FROM hh
+                     WHERE h NOT IN (SELECT h FROM freq WHERE df >= 3)),
+            reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                           string_agg(line, chr(10) ORDER BY pos) AS clean
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, len(ls) AS n_lines FROM l)
+            SELECT t.doc_id, t.n_lines, COALESCE(r.n_kept, 0) AS n_kept,
+                   md5(COALESCE(r.clean, '')) AS clean_md5
+            FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+            """,
+        "token_shards": f"""
+            WITH w AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum_tokens
+                  FROM w)
+            SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+                   CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 1000)
+                        AS BIGINT) AS shard_id
+            FROM c
+            """,
+        "corpus_mix": f"""
+            WITH a AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len({_WORDS})) AS BIGINT) AS n_tokens,
+                     CAST(SUM(length(text)) AS BIGINT) AS n_chars
+              FROM documents GROUP BY source)
+            SELECT source, n_docs, n_tokens, n_chars,
+                   round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
+            FROM a
+            """,
+        "embed_quantize": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            s AS (SELECT vec_id, emb, list_max([abs(x) for x in emb]) AS scale FROM e),
+            c AS (SELECT vec_id, emb, scale,
+                         CASE WHEN scale > 0
+                              THEN [CAST(floor(x / scale * 127.0 + 0.5) AS INTEGER) for x in emb]
+                              ELSE [0 for x in emb] END AS codes
+                  FROM s),
+            m AS (SELECT vec_id, len(emb) AS n_dims, scale, codes,
+                         CASE WHEN scale > 0 THEN
+                           list_sum([abs(emb[i] - codes[i] * scale / 127.0)
+                                     for i in generate_series(1, len(emb))]) / len(emb)
+                         ELSE 0.0 END AS err
+                  FROM c)
+            SELECT vec_id, n_dims, round(scale, 6) AS scale,
+                   list_max([abs(x) for x in codes]) AS max_abs_code,
+                   round(err, 6) AS mean_abs_err,
+                   md5(array_to_string(codes, ',')) AS codes_md5
+            FROM m
+            """,
+        "semantic_dedup": f"""
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e ORDER BY vec_id LIMIT {_IVF_C}),
+            sa AS (SELECT e.vec_id, e.emb, c.cent_id,
+                          {_cos_sql('e.emb', 'c.c_emb')} AS c_cos
+                   FROM e CROSS JOIN c),
+            asg AS (SELECT vec_id, emb, cent_id FROM (
+                      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY c_cos DESC, cent_id ASC) AS arnk FROM sa)
+                    WHERE arnk = 1),
+            p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM asg a JOIN asg b
+                  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+                  WHERE {_cos_sql('a.emb', 'b.emb')} >= 0.95),
             sym AS (SELECT vec_a AS a, vec_b AS b FROM p
                     UNION SELECT vec_b, vec_a FROM p),
             reach(node, lbl) AS (

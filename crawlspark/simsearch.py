@@ -262,6 +262,37 @@ def kmeans_codebook(
     )
 
 
+def default_codebook(emb: DataFrame, n_centroids: int = IVF_CENTROIDS) -> DataFrame:
+    """Deterministic training-free codebook: the `n_centroids` lowest-id
+    vectors as centroids (the DuckDB-oracle tier; kmeans_codebook is the
+    trained production path behind the same shape)."""
+    return emb.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+
+
+def ivf_assign(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cent_id): each vector assigned to its
+    nearest-cosine centroid — the inverted-list build shared by ivf_topk
+    and semantic_dedup. Broadcast codebook, cosine rounded to 6 places,
+    ties broken by centroid id, so any SQL engine assigns identically."""
+    cents = F.broadcast(codebook)
+    scored_assign = emb.crossJoin(cents).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(cosine_col(F.col("embedding"), F.col("c_emb")), 6).alias("c_cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored_assign.withColumn("arnk", F.row_number().over(w_assign))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = ANN_K,
@@ -282,24 +313,9 @@ def ivf_topk(
     by centroid id; cosine rounded to 6 places so the oracle assigns
     identically."""
     if codebook is None:
-        codebook = emb.orderBy("vec_id").limit(n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-        )
+        codebook = default_codebook(emb, n_centroids)
     cents = F.broadcast(codebook)
-    scored_assign = emb.crossJoin(cents).select(
-        "vec_id",
-        "embedding",
-        "cent_id",
-        F.round(cosine_col(F.col("embedding"), F.col("c_emb")), 6).alias("c_cos"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cent_id").asc()
-    )
-    assigned = (
-        scored_assign.withColumn("arnk", F.row_number().over(w_assign))
-        .filter(F.col("arnk") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    assigned = ivf_assign(emb, codebook)
     q = emb.orderBy("vec_id").limit(n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -397,3 +413,92 @@ def embedding_neardup_allpairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding compression + semantic dedup
+# ---------------------------------------------------------------------------
+
+def embed_quantize(emb: DataFrame) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4× storage /
+    bandwidth reduction step an embedding store runs before ANN at 10^9+
+    vectors (public practice: faiss SQ8 / product-quantization family).
+    Per vector: scale = max |component|, code_i = floor(x_i/scale·127 + ½)
+    (round-half-up expressed as floor so every engine rounds identically),
+    plus the mean absolute reconstruction error as the quality audit.
+
+    Output is (vec_id, n_dims, scale, max_abs_code, mean_abs_err,
+    codes_md5) — codes_md5 pins every code byte while keeping the checked
+    row compact. Pure per-row JVM higher-order functions: one scan, no
+    shuffle, no UDF, runs inside codegen."""
+    d = _as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(d, lambda x: F.abs(x)))
+    codes = F.when(
+        scale > 0,
+        F.transform(d, lambda x: F.floor(x / scale * 127.0 + 0.5).cast("int")),
+    ).otherwise(F.transform(d, lambda x: F.lit(0)))
+    recon_err = F.aggregate(
+        F.zip_with(d, codes, lambda x, c: F.abs(x - c.cast("double") * scale / 127.0)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(d)
+    return emb.select(
+        "vec_id",
+        F.size(d).alias("n_dims"),
+        F.round(scale, 6).alias("scale"),
+        F.array_max(F.transform(codes, lambda c: F.abs(c))).alias("max_abs_code"),
+        F.round(F.when(scale > 0, recon_err).otherwise(F.lit(0.0)), 6).alias(
+            "mean_abs_err"
+        ),
+        F.md5(F.concat_ws(",", F.transform(codes, lambda c: c.cast("string")))).alias(
+            "codes_md5"
+        ),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = IVF_CENTROIDS,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    literature): cluster the embedding space, compare pairs only WITHIN a
+    cluster, keep one representative per connected near-dup group.
+    Returns (vec_id, cluster_id, is_rep) for every vector in at least one
+    ≥threshold pair — keep is_rep rows, drop the rest.
+
+    Scale shape: the centroid assignment is a broadcast of the tiny
+    codebook (ivf_assign); the quadratic pair step is BOUNDED BY CLUSTER —
+    candidate volume is O(Σ cluster²), so n_centroids is sized with the
+    corpus (≈√N keeps expected cluster size √N and the join uniform;
+    hot clusters are visible in the per-cluster counts before the join).
+    The final grouping is the O(log diameter) pointer-jumping connected
+    components, never a transitive closure in the driver. Cross-cluster
+    near-dups are out of scope BY DESIGN (the SemDeDup trade: recall is
+    bounded by the clustering — the banded embedding_neardup_pairs tier
+    is the cluster-free alternative when full recall matters)."""
+    from crawlspark.graphops import dedup_clusters
+
+    if codebook is None:
+        codebook = default_codebook(emb, n_centroids)
+    assigned = ivf_assign(emb, codebook).select("vec_id", "embedding", "cent_id")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine_col(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    return dedup_clusters(pairs)

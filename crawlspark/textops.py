@@ -455,3 +455,174 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             ).alias("top_word_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline curation: PII scrubbing + boilerplate line removal + corpus mix
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# share bit-for-bit: char classes, bounded repeats, \b — no lookaround, no
+# backrefs. Order matters for redaction: emails first (an email contains
+# no digits runs long enough to collide with the number pattern on this
+# corpus, but keeping a fixed order makes the composition deterministic).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_IPV4 = "\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b"
+PII_LONGNUM = "\\b[0-9][0-9 -]{6,}[0-9]\\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the privacy-scrub step of a
+    training-data pipeline (public practice: regex classes for emails /
+    IP addresses / long digit runs, cf. the C4 and BigScience/ROOTS
+    pipelines' published PII filters): per-doc match counts for each
+    class plus the md5 of the redacted text (emails → <EMAIL>, IPv4 →
+    <IP>, remaining 8+-digit runs → <NUM>, applied in that fixed order).
+
+    Scale shape: pure per-row JVM regex inside codegen — one scan, no
+    shuffle, no UDF; the md5 keeps the checked output compact while still
+    pinning every redacted byte."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_LONGNUM, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_LONGNUM)).cast("bigint").alias("n_longnums"),
+        F.md5(red).alias("clean_md5"),
+    )
+
+
+def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency boilerplate line removal (CCNet-style paragraph
+    dedup, public literature): every newline-separated line whose
+    document frequency reaches `min_df` is dropped from every doc;
+    returns per-doc (doc_id, n_lines, n_kept, clean_md5) where clean_md5
+    pins the surviving lines rejoined in original order.
+
+    Scale shape: lines explode once; the document-frequency aggregate is
+    a map-side-combined count over (line_hash) after a per-doc distinct
+    (same shuffle class, keyed on the hash so it is uniform); the lines
+    that clear `min_df` are by construction FEW (boilerplate), so the
+    removal join is a BROADCAST left_anti — the corpus-sized side never
+    reshuffles. Reassembly sorts each doc's surviving (pos, line) structs
+    in-array (array_sort, no window) — per-row work, no second shuffle."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    exploded = docs.select(
+        "doc_id", F.posexplode(lines).alias("pos", "line")
+    ).withColumn("h", F.md5("line"))
+    df_counts = (
+        exploded.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    common = df_counts.filter(F.col("df") >= min_df).select("h")
+    kept = exploded.join(F.broadcast(common), "h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean"),
+    )
+    totals = docs.select(
+        "doc_id", F.size(lines).alias("n_lines")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.md5(F.coalesce(F.col("clean"), F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+def corpus_mix(docs: DataFrame) -> DataFrame:
+    """Training-mix accounting: per-source doc / token / char totals and
+    each source's token share of the corpus — the numbers a mix-weighting
+    step (hash_sample cutoffs) is derived from.
+
+    Scale shape: one map-side-combined groupBy on `source` (cardinality =
+    number of sources, tiny); the share denominator is a window sum over
+    the already-aggregated rows, so the corpus is scanned exactly once."""
+    from pyspark.sql import Window
+
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(words_col())).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens").cast("double") / total, 6).alias("token_share"),
+    )
+
+
+def token_shards(
+    docs: DataFrame, budget: int = 4096, bucket_width: int = 256
+) -> DataFrame:
+    """Token-budget sharding — the sequence-packing / shard-boundary step
+    of a training-data pipeline: docs in deterministic doc_id order are
+    cut into contiguous shards of ~`budget` tokens; each doc reports its
+    running token total and the shard its first token lands in.
+
+    A naive global cumulative sum is a single-partition window (the W5
+    scale-killer). Instead, the classic two-pass prefix sum: (1) bucket =
+    doc_id div `bucket_width`; per-bucket token sums are one map-side-
+    combined aggregate whose result is TINY (n_docs / bucket_width rows)
+    and whose exclusive prefix is computed on the collected list; (2) the
+    heavy cumulative window runs PER BUCKET (parallel, bounded partitions)
+    and adds the broadcast bucket offset. Output is identical to the
+    global window at any parallelism. `bucket_width` scales with the
+    corpus (≈√N keeps both the driver list and each bucket window at √N).
+    """
+    tokens = docs.select(
+        "doc_id",
+        F.size(words_col()).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") / bucket_width).cast("bigint").alias("bkt"),
+    )
+    sums = {
+        r["bkt"]: r["s"]
+        for r in tokens.groupBy("bkt").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b]
+    off_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(b, o) for b, o in offsets.items()], "bkt bigint, off bigint"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tokens.join(off_df, "bkt").select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) + F.col("off")).alias("cum_tokens"),
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget)
+        .cast("bigint")
+        .alias("shard_id"),
+    )

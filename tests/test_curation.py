@@ -151,3 +151,121 @@ def test_repetition_stats_matches_duckdb(spark, docs):
     )
     assert got == exp
     assert any(r[2] > 0 for r in got), "no doc has duplicate 2-grams — vacuous"
+
+
+# ---------------------------------------------------------------------------
+# R4b additions: PII scrub, boilerplate line removal, corpus mix
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (1, "write to alice.smith+news@sub.example.org today"),
+        (2, "server at 192.168.1.100 and backup 10.0.0.7"),
+        (3, "call 555-0100-42 or 31 22 44 55 66"),
+        (4, "no pii here at all"),
+        (5, "two mails a@b.co and c.d@e-f.io plus ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in textops.pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_ipv4"] == 0
+    assert got[2]["n_ipv4"] == 2 and got[2]["n_emails"] == 0
+    assert got[3]["n_longnums"] == 2  # dashed + spaced digit runs
+    assert got[4] == {
+        "doc_id": 4, "n_emails": 0, "n_ipv4": 0, "n_longnums": 0,
+        "clean_md5": got[4]["clean_md5"],
+    }
+    assert got[5]["n_emails"] == 2 and got[5]["n_ipv4"] == 1
+    # redaction actually removed the PII bytes: md5 of the expected
+    # redacted strings, computed independently
+    import hashlib
+
+    exp1 = hashlib.md5(b"write to <EMAIL> today").hexdigest()
+    exp2 = hashlib.md5(b"server at <IP> and backup <IP>").hexdigest()
+    exp3 = hashlib.md5(b"call <NUM> or <NUM>").hexdigest()
+    assert got[1]["clean_md5"] == exp1
+    assert got[2]["clean_md5"] == exp2
+    assert got[3]["clean_md5"] == exp3
+
+
+def test_line_dedup_drops_common_keeps_rare(spark):
+    boiler = "subscribe now"
+    rows = []
+    for i in range(10):
+        rows.append((i, f"unique line {i}\n{boiler}" + ("\nrare" if i == 0 else "")))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in textops.line_dedup(df, min_df=3).collect()}
+    # boiler appears in 10 docs -> dropped everywhere; unique+rare kept
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 2
+    for i in range(1, 10):
+        assert out[i]["n_lines"] == 2 and out[i]["n_kept"] == 1
+    import hashlib
+
+    assert out[0]["clean_md5"] == hashlib.md5(b"unique line 0\nrare").hexdigest()
+    # a doc that is ALL boilerplate survives with md5('')
+    df2 = spark.createDataFrame(
+        [(i, boiler) for i in range(5)], "doc_id bigint, text string"
+    )
+    out2 = textops.line_dedup(df2, min_df=3).collect()
+    assert all(r["n_kept"] == 0 for r in out2)
+    assert all(r["clean_md5"] == hashlib.md5(b"").hexdigest() for r in out2)
+
+
+def test_line_dedup_preserves_intra_doc_order(spark):
+    # kept lines must rejoin in ORIGINAL position order even when the
+    # collect_list arrives shuffled — array_sort on (pos, line) structs
+    text = "\n".join(f"l{i:03d}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string").repartition(8)
+    out = textops.line_dedup(df, min_df=2).collect()[0]
+    import hashlib
+
+    assert out["n_kept"] == 50
+    assert out["clean_md5"] == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_corpus_mix_shares_sum_to_one(spark, docs):
+    out = textops.corpus_mix(docs).collect()
+    assert len(out) == docs.select("source").distinct().count()
+    total = sum(r["token_share"] for r in out)
+    assert abs(total - 1.0) < 1e-4
+    assert all(r["n_docs"] > 0 and r["n_tokens"] > 0 for r in out)
+
+
+def test_token_shards_matches_global_prefix_sum(spark, docs):
+    """The bucketed two-pass prefix sum must equal the naive global
+    cumulative sum exactly, at any parallelism and bucket width."""
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"], r["shard_id"])
+        for r in textops.token_shards(docs, budget=500, bucket_width=7).collect()
+    }
+    rows = sorted(
+        (r["doc_id"], r["n"])
+        for r in docs.select(
+            "doc_id", F.size(textops.words_col()).alias("n")
+        ).collect()
+    )
+    acc = 0
+    for doc_id, n in rows:
+        acc += n
+        assert out[doc_id] == (n, acc, (acc - n) // 500), doc_id
+    # parallelism invariance
+    out2 = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"], r["shard_id"])
+        for r in textops.token_shards(
+            docs.repartition(16), budget=500, bucket_width=7
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_token_shards_contiguous_and_budget_bounded(spark, docs):
+    out = sorted(
+        (r["doc_id"], r["shard_id"], r["n_tokens"], r["cum_tokens"])
+        for r in textops.token_shards(docs, budget=300).collect()
+    )
+    # shard ids are non-decreasing in doc order and start at 0
+    sids = [s for _, s, _, _ in out]
+    assert sids[0] == 0
+    assert all(a <= b for a, b in zip(sids, sids[1:]))
+    # every shard's first doc starts within the budget boundary
+    for (_, s, n, cum) in out:
+        assert (cum - n) // 300 == s

@@ -168,3 +168,81 @@ def test_ivf_trained_codebook_beats_standin(spark):
     r_trained = recall(cb)
     assert r_trained >= r_standin, f"trained {r_trained:.2f} < stand-in {r_standin:.2f}"
     assert r_trained >= 0.5, f"trained recall {r_trained:.2f} < 0.5"
+
+
+# ---------------------------------------------------------------------------
+# R4b additions: int8 quantization + SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_embed_quantize_roundtrip_properties(spark, emb):
+    """Codes bounded to int8 range, the max-|x| element always hits ±127,
+    and the reconstruction error is bounded by half a quantization step
+    (scale/254 per component on average is the worst case for round-half-
+    up scalar quantization)."""
+    base = emb.select("vec_id", "embedding")
+    out = simsearch.embed_quantize(base).collect()
+    assert len(out) == base.count()
+    for r in out:
+        assert r["max_abs_code"] == 127  # the argmax component saturates
+        # + 1e-6 absorbs the 6-place output rounding of both fields
+        assert 0.0 <= r["mean_abs_err"] <= r["scale"] / 254.0 + 1e-6
+        assert r["n_dims"] == 64
+    # determinism across parallelism: digests identical at 1 vs 8 slices
+    one = {(r["vec_id"], r["codes_md5"]) for r in
+           simsearch.embed_quantize(base.coalesce(1)).collect()}
+    eight = {(r["vec_id"], r["codes_md5"]) for r in
+             simsearch.embed_quantize(base.repartition(8)).collect()}
+    assert one == eight
+
+
+def test_embed_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [0.5, -1.0, 0.25, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r["vec_id"]: r.asDict() for r in simsearch.embed_quantize(df).collect()}
+    assert got[1]["scale"] == 0.0 and got[1]["max_abs_code"] == 0
+    assert got[1]["mean_abs_err"] == 0.0
+    assert got[2]["max_abs_code"] == 127
+
+
+def test_semantic_dedup_finds_planted_copies(spark, emb):
+    """Planted identical vectors land in the same IVF cluster by
+    construction (identical rounded cosines, same tie-break) and must come
+    out as (original=rep, copy=non-rep) pairs sharing a cluster id."""
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    n_planted = planted.count()
+    out = {r["vec_id"]: r for r in
+           simsearch.semantic_dedup(base.unionByName(planted)).collect()}
+    assert n_planted > 0
+    for r in planted.collect():
+        copy_id = r["vec_id"]
+        orig_id = copy_id - 10_000_000
+        assert copy_id in out and orig_id in out
+        assert out[copy_id]["cluster_id"] == out[orig_id]["cluster_id"] == orig_id
+        assert out[orig_id]["is_rep"] and not out[copy_id]["is_rep"]
+
+
+def test_semantic_dedup_pairs_only_within_cluster(spark, emb):
+    """The quadratic step is bounded by cluster: every reported near-dup
+    group must be contained in one IVF cell (the SemDeDup contract)."""
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    union = base.unionByName(planted)
+    cb = simsearch.default_codebook(union)
+    assigned = {
+        r["vec_id"]: r["cent_id"]
+        for r in simsearch.ivf_assign(union, cb).collect()
+    }
+    out = simsearch.semantic_dedup(union).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    for cl, members in by_cluster.items():
+        cells = {assigned[m] for m in members}
+        assert len(cells) == 1, f"cluster {cl} spans IVF cells {cells}"

@@ -626,3 +626,69 @@ def token_shards(
         .cast("bigint")
         .alias("shard_id"),
     )
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-doc feature vector for the trained quality tier: length,
+    word-shape, stopword, punctuation, and repetition signals — all pure
+    JVM, one scan + the repetition_stats aggregate pair."""
+    ws = words_col()
+    n_words = F.size(ws).cast("double")
+    n_chars = F.length("text").cast("double")
+    stop_all = sorted({s for lst in STOPWORDS.values() for s in lst})
+    n_stop = F.size(F.array_intersect(ws, F.array(*[F.lit(s) for s in stop_all])))
+    base = docs.select(
+        "doc_id",
+        n_words.alias("f_words"),
+        F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0)).alias("f_mwl"),
+        F.when(n_words > 0, n_stop.cast("double") / n_words)
+        .otherwise(F.lit(0.0))
+        .alias("f_stop"),
+        F.when(
+            n_chars > 0,
+            F.expr("size(regexp_extract_all(text, '[.,;:!?]', 0))").cast("double")
+            / n_chars,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f_punct"),
+    )
+    rep = repetition_stats(docs).select("doc_id", "dup_2gram_frac", "top_word_frac")
+    return base.join(rep, "doc_id").select(
+        "doc_id",
+        F.array("f_words", "f_mwl", "f_stop", "f_punct",
+                "dup_2gram_frac", "top_word_frac").alias("features"),
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame, threshold: float = 0.6, seed: int = 42, max_iter: int = 50
+) -> DataFrame:
+    """Trained quality filter (the CCNet/GPT-3-style learned tier behind
+    the heuristic): weak labels come from the rule-based quality_score
+    (≥ `threshold` → positive), a seeded MLlib LogisticRegression fits the
+    quality_features vector, and every doc gets a model probability +
+    prediction: (doc_id, label, prob, pred).
+
+    Same split as the trained IVF codebook (simsearch.kmeans_codebook):
+    the heuristic stays the deterministic SQL-oracle tier; the trained
+    model is pytest-tier (agreement asserted, not SQL-reproducible).
+    Scale: training aggregates gradients tree-wise on executors (MLlib);
+    scoring is a broadcast of the coefficient vector."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    labels = quality_score(docs).select(
+        "doc_id", (F.col("quality") >= threshold).cast("double").alias("label")
+    )
+    feats = quality_features(docs).join(labels, "doc_id").select(
+        "doc_id", array_to_vector("features").alias("features"), "label"
+    )
+    lr = LogisticRegression(maxIter=max_iter, regParam=0.01, standardization=True)
+    model = lr.fit(feats)
+    scored = model.transform(feats)
+    return scored.select(
+        "doc_id",
+        "label",
+        F.round(F.element_at(vector_to_array("probability"), 2), 6).alias("prob"),
+        F.col("prediction").alias("pred"),
+    )

@@ -269,3 +269,16 @@ def test_token_shards_contiguous_and_budget_bounded(spark, docs):
     # every shard's first doc starts within the budget boundary
     for (_, s, n, cum) in out:
         assert (cum - n) // 300 == s
+
+
+def test_quality_classifier_agrees_with_heuristic(spark, docs):
+    """The trained tier must recover the weak-label decision boundary it
+    was fit on (sanity: the features contain the signal) — ≥90% agreement
+    and both classes present."""
+    out = textops.quality_classifier_scores(docs).collect()
+    assert len(out) == docs.count()
+    agree = sum(1 for r in out if r["pred"] == r["label"]) / len(out)
+    assert agree >= 0.9, f"classifier agreement {agree:.2f} < 0.9"
+    labels = {r["label"] for r in out}
+    assert labels == {0.0, 1.0}, f"degenerate label set {labels}"
+    assert all(0.0 <= r["prob"] <= 1.0 for r in out)

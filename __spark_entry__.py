@@ -871,16 +871,24 @@ def _sh_sql(n: int, ws: str = "ws") -> str:
 
 
 def _minhash_cte(src: str = "documents") -> str:
-    from crawlspark.textops import MINHASH_K
+    # same affine-permutation family as textops.minhash_signatures: ONE
+    # md5 per shingle (first 32 bits) + k multiply-add-mod maps whose
+    # integer coefficients come verbatim from textops.minhash_coeffs
+    from crawlspark.textops import MINHASH_K, MINHASH_P, minhash_coeffs
 
+    a_c, b_c = minhash_coeffs(MINHASH_K)
     sigs = ", ".join(
-        f"MIN(md5(shingle || '#{i}')) AS sig_{i}" for i in range(MINHASH_K)
+        f"MIN((h32 * {a_c[i]} + {b_c[i]}) % {MINHASH_P}) AS sig_{i}"
+        for i in range(MINHASH_K)
     )
     return f"""
         w AS (SELECT doc_id, {_WORDS} AS ws FROM {src}),
         s AS (SELECT doc_id, {_sh_sql(3)} AS sh FROM w),
         e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        sig AS (SELECT doc_id, {sigs} FROM e GROUP BY doc_id)
+        hb AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
+               FROM e),
+        sig AS (SELECT doc_id, {sigs} FROM hb GROUP BY doc_id)
     """
 
 

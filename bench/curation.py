@@ -80,45 +80,65 @@ emb = emb_base.crossJoin(
 ).repartition(max(cores * 4, 16)).persist()
 n_emb = emb.count()
 
+# sink: force FULL computation of every output column (a bare count() lets
+# Catalyst prune projection expressions -- measured 6.7M "docs/s" for the
+# regex pass, i.e. nothing ran) and return an order-insensitive digest:
+# bit_xor of xxhash64 over all stringified columns. The digest doubles as
+# the cross-parallelism determinism check.
+def sink(df):
+    cols = ", ".join("cast({{0}} as string)".format(c) for c in df.columns)
+    row = df.select(
+        F.expr("bit_xor(xxhash64({{0}}))".format(cols)).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return row["d"], row["n"]
+
+
 OPS = {{
-    "pii_scrub": lambda: textops.pii_scrub(docs).count(),
-    "line_dedup": lambda: textops.line_dedup(docs).count(),
-    "token_shards": lambda: textops.token_shards(
-        docs, budget=4096, bucket_width=4096
-    ).count(),
-    "exact_dedup": lambda: textops.exact_dedup(docs).count(),
-    "repetition_stats": lambda: textops.repetition_stats(docs).count(),
-    "hash_sample": lambda: textops.hash_sample(
-        docs, {{"src0": 256, "src1": 128}}, default=64
-    ).count(),
-    "embed_quantize": lambda: simsearch.embed_quantize(emb).count(),
-    "minhash_sig": lambda: textops.minhash_signatures(docs).count(),
+    "pii_scrub": lambda: sink(textops.pii_scrub(docs)),
+    "line_dedup": lambda: sink(textops.line_dedup(docs)),
+    "token_shards": lambda: sink(
+        textops.token_shards(docs, budget=4096, bucket_width=4096)
+    ),
+    "exact_dedup": lambda: sink(textops.exact_dedup(docs)),
+    "repetition_stats": lambda: sink(textops.repetition_stats(docs)),
+    "hash_sample": lambda: sink(
+        textops.hash_sample(docs, {{"src0": 256, "src1": 128}}, default=64)
+    ),
+    "embed_quantize": lambda: sink(simsearch.embed_quantize(emb)),
+    "minhash_sig": lambda: sink(textops.minhash_signatures(docs)),
 }}
 
-# warmup: compile every op's plan shape once at a small slice so timings
-# measure the engine, not first-plan JIT (bench.py methodology)
+# warmup: compile every op's plan shape (including the digest sink) once
+# at a small slice so timings measure the engine, not first-plan JIT
+# (bench.py methodology)
 small = docs.limit(2000).persist()
 small.count()
 warm_emb = emb.limit(2000).persist()
 warm_emb.count()
-textops.pii_scrub(small).count()
-textops.line_dedup(small).count()
-textops.token_shards(small).count()
-textops.exact_dedup(small).count()
-textops.repetition_stats(small).count()
-textops.hash_sample(small, {{"src0": 256}}, default=64).count()
-simsearch.embed_quantize(warm_emb).count()
-textops.minhash_signatures(small).count()
+sink(textops.pii_scrub(small))
+sink(textops.line_dedup(small))
+sink(textops.token_shards(small))
+sink(textops.exact_dedup(small))
+sink(textops.repetition_stats(small))
+sink(textops.hash_sample(small, {{"src0": 256}}, default=64))
+sink(simsearch.embed_quantize(warm_emb))
+sink(textops.minhash_signatures(small))
 small.unpersist()
 warm_emb.unpersist()
 
 out = {{"cores": cores, "n_docs": n_docs, "n_emb": n_emb, "ops": {{}}}}
 for name, fn in OPS.items():
     t0 = time.perf_counter()
-    n = fn()
+    digest, n_rows = fn()
     dt = time.perf_counter() - t0
     rows = n_emb if name == "embed_quantize" else n_docs
-    out["ops"][name] = {{"sec": round(dt, 3), "rows_per_sec": round(rows / dt)}}
+    out["ops"][name] = {{
+        "sec": round(dt, 3),
+        "rows_per_sec": round(rows / dt),
+        "out_rows": n_rows,
+        "digest": digest,
+    }}
 print("CURATION_JSON:" + json.dumps(out))
 spark.stop()
 """
@@ -167,6 +187,8 @@ def main() -> None:
             f"sec_{lo}": a["sec"],
             f"sec_{hi}": b["sec"],
             "efficiency": round(eff, 3),
+            "digest_match": a["digest"] == b["digest"]
+            and a["out_rows"] == b["out_rows"],
         }
     print(json.dumps(report))
 

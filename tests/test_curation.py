@@ -282,3 +282,57 @@ def test_quality_classifier_agrees_with_heuristic(spark, docs):
     labels = {r["label"] for r in out}
     assert labels == {0.0, 1.0}, f"degenerate label set {labels}"
     assert all(0.0 <= r["prob"] <= 1.0 for r in out)
+
+
+def test_pii_regex_cross_engine_fuzz(spark):
+    """The PII patterns live in the Java-regex ∩ RE2 subset; this fuzz
+    check hammers that claim with deterministic adversarial strings
+    (boundary chars, partial emails, dotted digit runs) and asserts
+    count + redaction-byte equality between Spark (Java) and DuckDB
+    (RE2)."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = list("ab1.-@ +_%") + ["@@", "..", "1.1", "a@b", ".com", "10.0",
+                                     "555-", " 42 ", "x.y"]
+    rows = []
+    for i in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40)))
+        rows.append((i, s))
+    # plus structured near-misses
+    fixed = [
+        "a@b.c", "a@b.co", "@example.com", "user@.com", "1.2.3.4",
+        "1.2.3.4.5", "999.999.999.999", "1234567", "12345678",
+        "-12345678-", "a1234567890b", "u@h.io extra u2@h2.io",
+        "10.0.0.1:8080", "..@..", "%+-@-.x.yz",
+    ]
+    rows += [(1000 + j, s) for j, s in enumerate(fixed)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(tuple(r) for r in textops.pii_scrub(df).collect())
+
+    import duckdb
+
+    from crawlspark.textops import PII_EMAIL, PII_IPV4, PII_LONGNUM
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT),
+                   CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT),
+                   CAST(len(regexp_extract_all(text, '{PII_LONGNUM}')) AS BIGINT),
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{PII_IPV4}', '<IP>', 'g'),
+                          '{PII_LONGNUM}', '<NUM>', 'g'))
+            FROM t
+            """
+        ).fetchall()
+    )
+    assert got == exp

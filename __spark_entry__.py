@@ -871,24 +871,38 @@ def _sh_sql(n: int, ws: str = "ws") -> str:
 
 
 def _minhash_cte(src: str = "documents") -> str:
-    # same affine-permutation family as textops.minhash_signatures: ONE
-    # md5 per shingle (first 32 bits) + k multiply-add-mod maps whose
-    # integer coefficients come verbatim from textops.minhash_coeffs
-    from crawlspark.textops import MINHASH_K, MINHASH_P, minhash_coeffs
+    # same zero-shuffle family as textops.minhash_signatures: one md5 per
+    # WORD (first 32 bits), arithmetic 3-word combination, then k affine
+    # maps rowwise — every constant comes verbatim from crawlspark.textops
+    from crawlspark.textops import (
+        MINHASH_K,
+        MINHASH_M32,
+        MINHASH_P,
+        MINHASH_P1,
+        MINHASH_P2,
+        minhash_coeffs,
+    )
 
     a_c, b_c = minhash_coeffs(MINHASH_K)
     sigs = ", ".join(
-        f"MIN((h32 * {a_c[i]} + {b_c[i]}) % {MINHASH_P}) AS sig_{i}"
+        f"list_min([(x * {a_c[i]} + {b_c[i]}) % {MINHASH_P} for x in sh])"
+        f" AS sig_{i}"
         for i in range(MINHASH_K)
     )
     return f"""
         w AS (SELECT doc_id, {_WORDS} AS ws FROM {src}),
-        s AS (SELECT doc_id, {_sh_sql(3)} AS sh FROM w),
-        e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-        hb AS (SELECT doc_id,
-                      CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h32
-               FROM e),
-        sig AS (SELECT doc_id, {sigs} FROM hb GROUP BY doc_id)
+        hw AS (SELECT doc_id,
+                      [CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
+                       for x in ws] AS wh
+               FROM w),
+        shl AS (SELECT doc_id,
+                       CASE WHEN len(wh) >= 3 THEN
+                         [((wh[i] * {MINHASH_P1} + wh[i+1] * {MINHASH_P2}
+                            + wh[i+2]) % {MINHASH_P}) % {MINHASH_M32}
+                          for i in generate_series(1, len(wh) - 2)]
+                       ELSE []::BIGINT[] END AS sh
+                FROM hw),
+        sig AS (SELECT doc_id, {sigs} FROM shl WHERE len(sh) > 0)
     """
 
 

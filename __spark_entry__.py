@@ -992,6 +992,8 @@ def _textops_oracle_sql() -> dict[str, str]:
         LSH_BAND_CAP as _LSH_CAP,
         LSH_BANDS,
         MINHASH_K,
+        MINHASH_P as _MH_P,
+        MINHASH_P1 as _MH_P1,
         PII_EMAIL as _PII_EMAIL,
         PII_IPV4 as _PII_IPV4,
         PII_LONGNUM as _PII_LONGNUM,
@@ -1114,24 +1116,32 @@ def _textops_oracle_sql() -> dict[str, str]:
             """,
         "repetition_stats": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
-            g AS (SELECT doc_id, len(ws) AS n_words, {_sh_sql(2)} AS tg FROM w),
-            base AS (SELECT doc_id, n_words, len(tg) AS n_2grams,
-                            len(tg) - len(list_distinct(tg)) AS n_dup_2grams
-                     FROM g),
-            e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            hw AS (SELECT doc_id,
+                          [CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)
+                           for x in ws] AS wh
+                   FROM w),
+            g AS (SELECT doc_id, len(wh) AS n_words, wh,
+                         CASE WHEN len(wh) >= 2 THEN
+                           [(wh[i] * {_MH_P1} + wh[i+1]) % {_MH_P}
+                            for i in generate_series(1, len(wh) - 1)]
+                         ELSE []::BIGINT[] END AS tg
+                  FROM hw),
+            e AS (SELECT doc_id, unnest(wh) AS h FROM g),
             tc AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_count
-                   FROM (SELECT doc_id, word, COUNT(*) AS c FROM e
-                         GROUP BY doc_id, word) GROUP BY doc_id)
-            SELECT b.doc_id, b.n_2grams, b.n_dup_2grams,
-                   round(CASE WHEN b.n_2grams > 0
-                         THEN CAST(b.n_dup_2grams AS DOUBLE) / b.n_2grams
+                   FROM (SELECT doc_id, h, COUNT(*) AS c FROM e
+                         GROUP BY doc_id, h) GROUP BY doc_id)
+            SELECT g.doc_id, len(tg) AS n_2grams,
+                   len(tg) - len(list_distinct(tg)) AS n_dup_2grams,
+                   round(CASE WHEN len(tg) > 0
+                         THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+                              / len(tg)
                          ELSE 0.0 END, 6) AS dup_2gram_frac,
                    COALESCE(tc.top_word_count, 0) AS top_word_count,
-                   round(CASE WHEN b.n_words > 0
+                   round(CASE WHEN g.n_words > 0
                          THEN CAST(COALESCE(tc.top_word_count, 0) AS DOUBLE)
-                              / b.n_words
+                              / g.n_words
                          ELSE 0.0 END, 6) AS top_word_frac
-            FROM base b LEFT JOIN tc ON tc.doc_id = b.doc_id
+            FROM g LEFT JOIN tc ON tc.doc_id = g.doc_id
             """,
         "decontaminate": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),

@@ -430,29 +430,59 @@ def embed_quantize(emb: DataFrame) -> DataFrame:
     Output is (vec_id, n_dims, scale, max_abs_code, mean_abs_err,
     codes_md5) — codes_md5 pins every code byte while keeping the checked
     row compact. Pure per-row JVM higher-order functions: one scan, no
-    shuffle, no UDF, runs inside codegen."""
-    d = _as_double(F.col("embedding"))
-    scale = F.array_max(F.transform(d, lambda x: F.abs(x)))
-    codes = F.when(
-        scale > 0,
-        F.transform(d, lambda x: F.floor(x / scale * 127.0 + 0.5).cast("int")),
-    ).otherwise(F.transform(d, lambda x: F.lit(0)))
+    shuffle, no UDF, runs inside codegen. The double-cast vector, scale,
+    and codes array are STAGED as their own projections so each is
+    computed once per row — inlined, Catalyst's project collapse
+    re-evaluates the arrays per consuming expression (the same trap
+    profiled in textops.shingle_hash_col)."""
+    t1 = emb.select("vec_id", _as_double(F.col("embedding")).alias("d"))
+    # the raw scale is named scale_raw: the output column aliases the
+    # ROUNDED value as "scale", and Spark's lateral column alias
+    # resolution would otherwise make every F.col("scale") inside the
+    # same select list bind to that rounded alias (observed: the error
+    # audit silently computed against the 6-place scale and crossed a
+    # rounding boundary vs the oracle)
+    t2 = t1.select(
+        "vec_id",
+        "d",
+        F.array_max(F.transform(F.col("d"), lambda x: F.abs(x))).alias("scale_raw"),
+    )
+    t3 = t2.select(
+        "vec_id",
+        "d",
+        "scale_raw",
+        F.when(
+            F.col("scale_raw") > 0,
+            F.transform(
+                F.col("d"),
+                lambda x: F.floor(x / F.col("scale_raw") * 127.0 + 0.5).cast("int"),
+            ),
+        )
+        .otherwise(F.transform(F.col("d"), lambda x: F.lit(0)))
+        .alias("codes"),
+    )
     recon_err = F.aggregate(
-        F.zip_with(d, codes, lambda x, c: F.abs(x - c.cast("double") * scale / 127.0)),
+        F.zip_with(
+            F.col("d"),
+            F.col("codes"),
+            lambda x, c: F.abs(x - c.cast("double") * F.col("scale_raw") / 127.0),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    ) / F.size(d)
-    return emb.select(
+    ) / F.size(F.col("d"))
+    return t3.select(
         "vec_id",
-        F.size(d).alias("n_dims"),
-        F.round(scale, 6).alias("scale"),
-        F.array_max(F.transform(codes, lambda c: F.abs(c))).alias("max_abs_code"),
-        F.round(F.when(scale > 0, recon_err).otherwise(F.lit(0.0)), 6).alias(
-            "mean_abs_err"
+        F.size("d").alias("n_dims"),
+        F.round("scale_raw", 6).alias("scale"),
+        F.array_max(F.transform(F.col("codes"), lambda c: F.abs(c))).alias(
+            "max_abs_code"
         ),
-        F.md5(F.concat_ws(",", F.transform(codes, lambda c: c.cast("string")))).alias(
-            "codes_md5"
-        ),
+        F.round(
+            F.when(F.col("scale_raw") > 0, recon_err).otherwise(F.lit(0.0)), 6
+        ).alias("mean_abs_err"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("codes"), lambda c: c.cast("string")))
+        ).alias("codes_md5"),
     )
 
 

@@ -770,6 +770,34 @@ def _q_embed_quantize(spark, sf_dir):
     )
 
 
+def _q_url_quality(spark, sf_dir):
+    """URL-level quality filtering (textops.url_quality, C4-style):
+    path depth, query-param count, tracking flag, extension class, and a
+    path blocklist hit. The fixture URLs are uniform, so deterministic
+    variety is planted by url_hash residue (deep paths, utm params, media
+    extensions, blocklisted segments) — mirrored verbatim in the oracle."""
+    from crawlspark import textops
+
+    fro = _read(spark, sf_dir, "frontier.parquet").select("url", "url_hash")
+    u2 = F.concat(
+        F.col("url"),
+        F.when(F.pmod(F.col("url_hash"), 7) == 0, F.lit("/deep/a/b")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.pmod(F.col("url_hash"), 11) == 0, F.lit("/pic.jpg")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.pmod(F.col("url_hash"), 13) == 0, F.lit("/casino/x")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.pmod(F.col("url_hash"), 5) == 0,
+            F.lit("?utm_source=feed&id=1&ref=2"),
+        ).otherwise(F.lit("")),
+    )
+    return textops.url_quality(fro.select(u2.alias("url")))
+
+
 def _q_token_shards(spark, sf_dir):
     """Token-budget sharding (textops.token_shards): contiguous ~1000-token
     training shards via the two-pass prefix sum — per-bucket window + tiny
@@ -852,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": _q_embed_quantize,
         "semantic_dedup": _q_semantic_dedup,
         "token_shards": _q_token_shards,
+        "url_quality": _q_url_quality,
     }
 
 
@@ -1490,6 +1519,30 @@ def oracle_sql() -> dict[str, str]:
     r = FIXTURE_ROUND
     out = _textops_oracle_sql()
     out.update({
+        "url_quality": f"""
+            WITH f AS (SELECT url, url_hash FROM read_parquet('{fro}')),
+            a AS (SELECT url
+                   || CASE WHEN ((url_hash % 7) + 7) % 7 = 0 THEN '/deep/a/b' ELSE '' END
+                   || CASE WHEN ((url_hash % 11) + 11) % 11 = 0 THEN '/pic.jpg' ELSE '' END
+                   || CASE WHEN ((url_hash % 13) + 13) % 13 = 0 THEN '/casino/x' ELSE '' END
+                   || CASE WHEN ((url_hash % 5) + 5) % 5 = 0 THEN '?utm_source=feed&id=1&ref=2' ELSE '' END
+                   AS url
+                  FROM f),
+            p AS (SELECT url, split_part(url, '?', 1) AS pp,
+                         CASE WHEN contains(url, '?')
+                              THEN split_part(url, '?', 2) ELSE '' END AS q
+                  FROM a)
+            SELECT url,
+                   CAST(len(string_split(pp, '/')) - 3 AS BIGINT) AS path_depth,
+                   CAST(CASE WHEN q <> '' THEN len(string_split(q, '&'))
+                        ELSE 0 END AS BIGINT) AS n_query_params,
+                   len(regexp_extract_all(url, 'utm_[a-z]+=')) > 0 AS has_tracking,
+                   CASE WHEN lower(regexp_extract(pp, '[.]([A-Za-z0-9]{{1,5}})$', 1))
+                             IN ('jpg','jpeg','png','gif','mp4','webm','mp3')
+                        THEN 'media' ELSE 'page' END AS ext_class,
+                   len(regexp_extract_all(pp, '/casino/|/poker/')) > 0 AS blocklisted
+            FROM p
+            """,
         "canon_urls": f"""
             SELECT url, canon_url FROM read_parquet('{_exp("expected_canon.parquet")}')
             """,

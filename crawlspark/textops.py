@@ -807,3 +807,42 @@ def quality_classifier_scores(
         F.round(F.element_at(vector_to_array("probability"), 2), 6).alias("prob"),
         F.col("prediction").alias("pred"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-level quality filtering (C4-style, public practice)
+# ---------------------------------------------------------------------------
+
+URL_TRACKING = "utm_[a-z]+="
+URL_BLOCKLIST = "/casino/|/poker/"
+URL_MEDIA_EXTS = ["jpg", "jpeg", "png", "gif", "mp4", "webm", "mp3"]
+
+
+def url_quality(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL-level quality features — the pre-fetch / pre-train filter pass
+    a web pipeline runs on URLs alone (C4 and similar pipelines filter by
+    URL blocklists, tracking junk, and media extensions before touching
+    content): path depth, query-parameter count, tracking-parameter flag,
+    extension class, and a path-keyword blocklist hit.
+
+    Pure per-row string/regex ops in codegen (Java∩RE2 subset) — one
+    scan, no shuffle; composes with any frontier or document-URL table."""
+    u = F.col(url_col)
+    path_part = F.substring_index(u, "?", 1)
+    has_q = u.contains("?")
+    query = F.substring_index(u, "?", -1)
+    ext = F.lower(F.regexp_extract(path_part, "[.]([A-Za-z0-9]{1,5})$", 1))
+    return urls.select(
+        url_col,
+        (F.size(F.split(path_part, "/")) - 3).cast("bigint").alias("path_depth"),
+        F.when(has_q, F.size(F.split(query, "&")))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_query_params"),
+        (F.regexp_count(u, F.lit(URL_TRACKING)) > 0).alias("has_tracking"),
+        F.when(ext.isin(URL_MEDIA_EXTS), F.lit("media"))
+        .when(ext == "", F.lit("page"))
+        .otherwise(F.lit("page"))
+        .alias("ext_class"),
+        (F.regexp_count(path_part, F.lit(URL_BLOCKLIST)) > 0).alias("blocklisted"),
+    )

@@ -336,3 +336,25 @@ def test_pii_regex_cross_engine_fuzz(spark):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_url_quality_features(spark):
+    rows = [
+        (1, "http://a.example/p/1"),
+        (2, "http://a.example/p/1/deep/a/b?utm_source=x&id=2"),
+        (3, "http://a.example/img/pic.jpg"),
+        (4, "http://a.example/casino/slots?x=1"),
+        (5, "http://a.example/"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, url string")
+    got = {r["url"]: r.asDict() for r in textops.url_quality(df).collect()}
+    assert got[rows[0][1]]["path_depth"] == 2
+    assert got[rows[0][1]]["n_query_params"] == 0
+    r2 = got[rows[1][1]]
+    assert r2["path_depth"] == 5 and r2["n_query_params"] == 2
+    assert r2["has_tracking"] and not r2["blocklisted"]
+    r3 = got[rows[2][1]]
+    assert r3["ext_class"] == "media" and not r3["has_tracking"]
+    r4 = got[rows[3][1]]
+    assert r4["blocklisted"] and r4["n_query_params"] == 1
+    assert got[rows[4][1]]["path_depth"] == 1  # trailing slash -> [.., '']

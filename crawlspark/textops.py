@@ -790,22 +790,36 @@ def quality_classifier_scores(
     Scale: training aggregates gradients tree-wise on executors (MLlib);
     scoring is a broadcast of the coefficient vector."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     labels = quality_score(docs).select(
         "doc_id", (F.col("quality") >= threshold).cast("double").alias("label")
     )
-    feats = quality_features(docs).join(labels, "doc_id").select(
+    raw = quality_features(docs).join(labels, "doc_id")
+    feats = raw.select(
         "doc_id", array_to_vector("features").alias("features"), "label"
     )
     lr = LogisticRegression(maxIter=max_iter, regParam=0.01, standardization=True)
     model = lr.fit(feats)
-    scored = model.transform(feats)
-    return scored.select(
+    # score with the COEFFICIENT VECTOR as plain column arithmetic instead
+    # of model.transform: the fitted model's training summary holds the
+    # SparkSession (BinaryLogisticRegressionTrainingSummaryImpl), and
+    # serializing the model into the transform closure fails with
+    # "Task not serializable: ObservationManager" whenever the session's
+    # observation registry is non-empty (Spark 4.1). Expression scoring is
+    # also the honest scale shape -- w and b broadcast as literals, the
+    # sigmoid runs in codegen.
+    w = [float(x) for x in model.coefficients.toArray()]
+    b = float(model.intercept)
+    margin = F.lit(b)
+    for i, wi in enumerate(w):
+        margin = margin + F.lit(wi) * F.element_at(F.col("features"), i + 1)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return raw.select(
         "doc_id",
         "label",
-        F.round(F.element_at(vector_to_array("probability"), 2), 6).alias("prob"),
-        F.col("prediction").alias("pred"),
+        F.round(prob, 6).alias("prob"),
+        F.when(prob > 0.5, F.lit(1.0)).otherwise(F.lit(0.0)).alias("pred"),
     )
 
 

@@ -770,6 +770,15 @@ def _q_embed_quantize(spark, sf_dir):
     )
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    """LM-perplexity proxy (textops.unigram_logprob, CCNet-style): per-doc
+    mean log probability under the corpus's own unigram distribution +
+    OOV count; vocabulary aggregate broadcast, 1-row total broadcast."""
+    from crawlspark import textops
+
+    return textops.unigram_logprob(_tpch(spark, sf_dir, "documents"))
+
+
 def _q_url_quality(spark, sf_dir):
     """URL-level quality filtering (textops.url_quality, C4-style):
     path depth, query-param count, tracking flag, extension class, and a
@@ -881,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "token_shards": _q_token_shards,
         "url_quality": _q_url_quality,
+        "unigram_logprob": _q_unigram_logprob,
     }
 
 
@@ -1421,6 +1431,22 @@ def _textops_oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.n_lines, COALESCE(r.n_kept, 0) AS n_kept,
                    md5(COALESCE(r.clean, '')) AS clean_md5
             FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+            """,
+        "unigram_logprob": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            e AS (SELECT doc_id, unnest(ws) AS w FROM w),
+            v AS (SELECT w, COUNT(*) AS c FROM e GROUP BY w),
+            t AS (SELECT SUM(c) AS total FROM v),
+            k AS (SELECT w, c FROM v WHERE c >= 2),
+            j AS (SELECT e.doc_id,
+                         CASE WHEN k.c IS NULL THEN 1 ELSE 0 END AS oov,
+                         ln(COALESCE(CAST(k.c AS DOUBLE), 0.5)
+                            / CAST(t.total AS DOUBLE)) AS logp
+                  FROM e LEFT JOIN k ON k.w = e.w CROSS JOIN t)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(oov) AS BIGINT) AS n_oov,
+                   round(AVG(logp), 6) AS mean_logprob
+            FROM j GROUP BY doc_id
             """,
         "token_shards": f"""
             WITH w AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens

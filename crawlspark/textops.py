@@ -860,3 +860,41 @@ def url_quality(urls: DataFrame, url_col: str = "url") -> DataFrame:
         .alias("ext_class"),
         (F.regexp_count(path_part, F.lit(URL_BLOCKLIST)) > 0).alias("blocklisted"),
     )
+
+
+def unigram_logprob(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """Language-model perplexity proxy (CCNet-style quality signal,
+    public literature — CCNet buckets docs by LM perplexity; the unigram
+    log-probability is the train-free analog): per-doc mean log
+    probability of its words under the corpus's own unigram distribution,
+    plus the out-of-vocabulary count. Very low mean log-prob = gibberish
+    / rare-token soup; very high = repetitive boilerplate — both are
+    filter signals.
+
+    Scale shape: ONE corpus-wide word-count aggregate (map-side combined,
+    result is vocabulary-sized — small after `min_count` pruning, zipf
+    tail dropped) broadcast back against the exploded words, then a
+    per-doc mean — the same two-shuffle class as every per-doc aggregate
+    here. OOV words score at the add-half floor (0.5/total), so the
+    metric is total-order stable across engines."""
+    w = docs.select("doc_id", F.explode(words_col()).alias("w"))
+    vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    kept = vocab.filter(F.col("c") >= min_count)
+    total = vocab.agg(F.sum("c").alias("total"))  # 1 row, broadcast below
+    joined = (
+        w.join(F.broadcast(kept), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("c").isNull().cast("int").alias("oov"),
+            F.log(
+                F.coalesce(F.col("c").cast("double"), F.lit(0.5))
+                / F.col("total").cast("double")
+            ).alias("logp"),
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.round(F.avg("logp"), 6).alias("mean_logprob"),
+    )

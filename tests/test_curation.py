@@ -358,3 +358,19 @@ def test_url_quality_features(spark):
     r4 = got[rows[3][1]]
     assert r4["blocklisted"] and r4["n_query_params"] == 1
     assert got[rows[4][1]]["path_depth"] == 1  # trailing slash -> [.., '']
+
+
+def test_unigram_logprob_known_values(spark):
+    """Hand-computed check: 4 docs, vocab {a:4, b:2, c:1}; total=7;
+    min_count=2 keeps a,b; c is OOV scoring ln(0.5/7)."""
+    import math
+
+    rows = [(1, "a a b"), (2, "a b"), (3, "a c"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in textops.unigram_logprob(df).collect()}
+    la, lb, loov = math.log(4 / 7), math.log(2 / 7), math.log(0.5 / 7)
+    assert out[1]["n_words"] == 3 and out[1]["n_oov"] == 0
+    assert abs(out[1]["mean_logprob"] - round((2 * la + lb) / 3, 6)) < 2e-6
+    assert out[3]["n_oov"] == 1
+    assert abs(out[3]["mean_logprob"] - round((la + loov) / 2, 6)) < 2e-6
+    assert 4 not in out  # empty doc has no words -> no row

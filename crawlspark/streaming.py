@@ -191,3 +191,20 @@ def run_metrics_stream(
         .option("path", out_dir)
         .start()
     )
+
+
+def streaming_doc_dedup(
+    docs: DataFrame, late: str = "30 seconds"
+) -> DataFrame:
+    """Streaming exact-text dedup over the document stream — the
+    incremental form of textops.exact_dedup for an always-on ingestion
+    pipeline: each doc's text hash is deduplicated within the watermark,
+    so only the FIRST copy of any text flows downstream. State is bounded
+    by the watermark horizon (dropDuplicatesWithinWatermark evicts expired
+    keys); the batch exact_dedup remains the full-corpus authority.
+    Requires an ``event_time`` column (with_event_time)."""
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .withWatermark("event_time", late)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )

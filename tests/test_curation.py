@@ -374,3 +374,22 @@ def test_unigram_logprob_known_values(spark):
     assert out[3]["n_oov"] == 1
     assert abs(out[3]["mean_logprob"] - round((la + loov) / 2, 6)) < 2e-6
     assert 4 not in out  # empty doc has no words -> no row
+
+
+def test_curation_ops_parallelism_invariant(spark, docs):
+    """Cheap in-suite version of bench/curation.py's digest_match check:
+    each op's full sorted output must be identical at 1 and 13 input
+    partitions (catches nondeterministic aggregates / order-dependent
+    float paths at review time, not bench time)."""
+    ops = [
+        lambda d: textops.pii_scrub(d),
+        lambda d: textops.line_dedup(d, min_df=3),
+        lambda d: textops.token_shards(d, budget=500, bucket_width=7),
+        lambda d: textops.minhash_signatures(d),
+        lambda d: textops.repetition_stats(d),
+        lambda d: textops.unigram_logprob(d),
+    ]
+    for op in ops:
+        one = sorted(tuple(r) for r in op(docs.repartition(1)).collect())
+        many = sorted(tuple(r) for r in op(docs.repartition(13)).collect())
+        assert one == many, f"{op} diverges across parallelism"

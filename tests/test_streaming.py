@@ -234,3 +234,39 @@ def test_stateful_seen_legacy_api(spark):
     ).coalesce(1).write.mode("append").parquet(f"{d}/in")
     drain()
     assert sorted(r["url_hash"] for r in spark.read.parquet(f"{d}/out").collect()) == [1, 2, 3]
+
+
+def test_streaming_doc_dedup(spark):
+    """Incremental exact-text dedup: the duplicate text inside the
+    watermark is dropped; distinct texts pass; first-copy semantics."""
+    rows = [
+        (1, "the same text", 10),
+        (2, "the same text", 10),   # dup inside watermark -> dropped
+        (3, "different text", 20),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string, sec int")
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cs-stream-docdedup")
+    src.write.mode("overwrite").parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, sec int")
+        .parquet(f"{d}/in")
+        .withColumn("event_time", F.timestamp_seconds("sec"))
+    )
+    deduped = streaming.streaming_doc_dedup(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{d}/ck")
+        .format("parquet")
+        .option("path", f"{d}/out")
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(f"{d}/out").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["different text", "the same text"]
+    kept_ids = {r["doc_id"] for r in out}
+    assert 3 in kept_ids and len(kept_ids & {1, 2}) == 1

@@ -1395,16 +1395,19 @@ def _textops_oracle_sql() -> dict[str, str]:
                      || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
                      || CASE WHEN doc_id % 13 = 0 THEN ' call 555-0100-' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
                      AS t
-              FROM documents)
+              FROM documents),
+            r1 AS (SELECT doc_id, t,
+                          regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS r1
+                   FROM d),
+            r2 AS (SELECT doc_id, t, r1,
+                          regexp_replace(r1, '{_PII_IPV4}', '<IP>', 'g') AS r2
+                   FROM r1)
             SELECT doc_id,
                    CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
-                   CAST(len(regexp_extract_all(t, '{_PII_LONGNUM}')) AS BIGINT) AS n_longnums,
-                   md5(regexp_replace(regexp_replace(regexp_replace(
-                       t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-                          '{_PII_IPV4}', '<IP>', 'g'),
-                          '{_PII_LONGNUM}', '<NUM>', 'g')) AS clean_md5
-            FROM d
+                   CAST(len(regexp_extract_all(r1, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(r2, '{_PII_LONGNUM}')) AS BIGINT) AS n_longnums,
+                   md5(regexp_replace(r2, '{_PII_LONGNUM}', '<NUM>', 'g')) AS clean_md5
+            FROM r2
             """,
         "line_dedup": """
             WITH d AS (
@@ -1555,8 +1558,7 @@ def oracle_sql() -> dict[str, str]:
                    AS url
                   FROM f),
             p AS (SELECT url, split_part(url, '?', 1) AS pp,
-                         CASE WHEN contains(url, '?')
-                              THEN split_part(url, '?', 2) ELSE '' END AS q
+                         regexp_extract(url, '[?](.*)', 1) AS q
                   FROM a)
             SELECT url,
                    CAST(len(string_split(pp, '/')) - 3 AS BIGINT) AS path_depth,

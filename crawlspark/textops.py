@@ -594,19 +594,33 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     class plus the md5 of the redacted text (emails → <EMAIL>, IPv4 →
     <IP>, remaining 8+-digit runs → <NUM>, applied in that fixed order).
 
+    Counts are PROGRESSIVE — each class is counted on the text with the
+    previous classes already redacted (emails on the raw text, IPv4 on the
+    email-redacted text, long numbers on the IP-redacted text) — so the
+    three counts always sum to the number of redactions actually applied:
+    a token matching two classes (a long digit run inside an email local
+    part) is counted once, in the class that redacted it.
+
     Scale shape: pure per-row JVM regex inside codegen — one scan, no
     shuffle, no UDF; the md5 keeps the checked output compact while still
-    pinning every redacted byte."""
-    t = F.col(text_col)
-    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
-    red = F.regexp_replace(red, PII_IPV4, "<IP>")
-    red = F.regexp_replace(red, PII_LONGNUM, "<NUM>")
-    return docs.select(
+    pinning every redacted byte. The r1/r2 intermediates are staged in
+    their own selects so the multi-referenced replace chains are not
+    re-inlined by project collapse (PLANS.md "Catalyst traps")."""
+    s1 = docs.select("doc_id", F.col(text_col).alias("t"))
+    s2 = s1.select(
+        "doc_id", "t", F.regexp_replace("t", PII_EMAIL, "<EMAIL>").alias("r1")
+    )
+    s3 = s2.select(
+        "doc_id", "t", "r1", F.regexp_replace("r1", PII_IPV4, "<IP>").alias("r2")
+    )
+    return s3.select(
         "doc_id",
-        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
-        F.regexp_count(t, F.lit(PII_LONGNUM)).cast("bigint").alias("n_longnums"),
-        F.md5(red).alias("clean_md5"),
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("r1"), F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(F.col("r2"), F.lit(PII_LONGNUM))
+        .cast("bigint")
+        .alias("n_longnums"),
+        F.md5(F.regexp_replace("r2", PII_LONGNUM, "<NUM>")).alias("clean_md5"),
     )
 
 
@@ -843,13 +857,15 @@ def url_quality(urls: DataFrame, url_col: str = "url") -> DataFrame:
     scan, no shuffle; composes with any frontier or document-URL table."""
     u = F.col(url_col)
     path_part = F.substring_index(u, "?", 1)
-    has_q = u.contains("?")
-    query = F.substring_index(u, "?", -1)
+    # query = everything after the FIRST '?' (URL semantics; a second '?'
+    # is part of the query, so 'a?b=1&c=2?d=3' has params [b=1, c=2?d=3]);
+    # empty on no-'?' and on a bare trailing '?', both of which count 0
+    query = F.regexp_extract(u, "[?](.*)", 1)
     ext = F.lower(F.regexp_extract(path_part, "[.]([A-Za-z0-9]{1,5})$", 1))
     return urls.select(
         url_col,
         (F.size(F.split(path_part, "/")) - 3).cast("bigint").alias("path_depth"),
-        F.when(has_q, F.size(F.split(query, "&")))
+        F.when(F.length(query) > 0, F.size(F.split(query, "&")))
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("n_query_params"),

@@ -164,9 +164,17 @@ def test_pii_scrub_counts_and_redaction(spark):
         (3, "call 555-0100-42 or 31 22 44 55 66"),
         (4, "no pii here at all"),
         (5, "two mails a@b.co and c.d@e-f.io plus ip 8.8.8.8"),
+        # cross-class overlap: the long digit run lives INSIDE the email
+        # local part — progressive counting attributes it to the email
+        # class only (counted once, on the text that still contains it)
+        (6, "mail 12345678@x.com now"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {r["doc_id"]: r.asDict() for r in textops.pii_scrub(df).collect()}
+    assert got[6]["n_emails"] == 1 and got[6]["n_longnums"] == 0
+    import hashlib as _h
+
+    assert got[6]["clean_md5"] == _h.md5(b"mail <EMAIL> now").hexdigest()
     assert got[1]["n_emails"] == 1 and got[1]["n_ipv4"] == 0
     assert got[2]["n_ipv4"] == 2 and got[2]["n_emails"] == 0
     assert got[3]["n_longnums"] == 2  # dashed + spaced digit runs
@@ -323,15 +331,18 @@ def test_pii_regex_cross_engine_fuzz(spark):
         tuple(r)
         for r in con.execute(
             f"""
+            WITH r1 AS (SELECT doc_id, text,
+                        regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS r1
+                        FROM t),
+            r2 AS (SELECT doc_id, text, r1,
+                   regexp_replace(r1, '{PII_IPV4}', '<IP>', 'g') AS r2
+                   FROM r1)
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT),
-                   CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT),
-                   CAST(len(regexp_extract_all(text, '{PII_LONGNUM}')) AS BIGINT),
-                   md5(regexp_replace(regexp_replace(regexp_replace(
-                       text, '{PII_EMAIL}', '<EMAIL>', 'g'),
-                          '{PII_IPV4}', '<IP>', 'g'),
-                          '{PII_LONGNUM}', '<NUM>', 'g'))
-            FROM t
+                   CAST(len(regexp_extract_all(r1, '{PII_IPV4}')) AS BIGINT),
+                   CAST(len(regexp_extract_all(r2, '{PII_LONGNUM}')) AS BIGINT),
+                   md5(regexp_replace(r2, '{PII_LONGNUM}', '<NUM>', 'g'))
+            FROM r2
             """
         ).fetchall()
     )
@@ -345,9 +356,15 @@ def test_url_quality_features(spark):
         (3, "http://a.example/img/pic.jpg"),
         (4, "http://a.example/casino/slots?x=1"),
         (5, "http://a.example/"),
+        # query = everything after the FIRST '?': the second '?' is query
+        # data, so this URL has params [b=1, c=2?d=3] -> 2, not 1
+        (6, "http://a.example/p?b=1&c=2?d=3"),
+        (7, "http://a.example/p?"),  # bare trailing '?' -> 0 params
     ]
     df = spark.createDataFrame(rows, "id bigint, url string")
     got = {r["url"]: r.asDict() for r in textops.url_quality(df).collect()}
+    assert got[rows[5][1]]["n_query_params"] == 2
+    assert got[rows[6][1]]["n_query_params"] == 0
     assert got[rows[0][1]]["path_depth"] == 2
     assert got[rows[0][1]]["n_query_params"] == 0
     r2 = got[rows[1][1]]

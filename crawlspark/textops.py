@@ -700,7 +700,7 @@ def corpus_mix(docs: DataFrame) -> DataFrame:
 
 
 def token_shards(
-    docs: DataFrame, budget: int = 4096, bucket_width: int = 256
+    docs: DataFrame, budget: int = 4096, bucket_width: int | None = None
 ) -> DataFrame:
     """Token-budget sharding — the sequence-packing / shard-boundary step
     of a training-data pipeline: docs in deterministic doc_id order are
@@ -710,33 +710,41 @@ def token_shards(
     A naive global cumulative sum is a single-partition window (the W5
     scale-killer). Instead, the classic two-pass prefix sum: (1) bucket =
     doc_id div `bucket_width`; per-bucket token sums are one map-side-
-    combined aggregate whose result is TINY (n_docs / bucket_width rows)
-    and whose exclusive prefix is computed on the collected list; (2) the
-    heavy cumulative window runs PER BUCKET (parallel, bounded partitions)
-    and adds the broadcast bucket offset. Output is identical to the
-    global window at any parallelism. `bucket_width` scales with the
-    corpus (≈√N keeps both the driver list and each bucket window at √N).
-    """
+    combined aggregate whose result is TINY (n_docs / bucket_width rows);
+    their EXCLUSIVE prefix is a window over that aggregate only (rows
+    unbounded-preceding..-1 ordered by bkt — single partition, but of
+    ≈N/bucket_width rows, never the corpus), broadcast-joined back;
+    (2) the heavy cumulative window runs PER BUCKET (parallel, bounded
+    partitions) and adds the bucket offset. Output is identical to the
+    global window at any parallelism, and — unlike a collected offset
+    dict — the whole plan is LAZY and self-consistent under re-evaluation
+    (no value frozen at construction time).
+
+    `bucket_width=None` derives ≈√N from one cheap count (an O(1)-result
+    job at call time; the width only shapes the plan — output values are
+    width-invariant), keeping BOTH the offset table and each per-bucket
+    window at √N rows: at the 10^10-doc design point that is ~10^5 offset
+    rows, not the 4×10^7 a fixed width of 256 would produce."""
+    if bucket_width is None:
+        import math
+
+        bucket_width = max(16, math.isqrt(max(int(docs.count()), 1)))
     tokens = docs.select(
         "doc_id",
         F.size(words_col()).cast("bigint").alias("n_tokens"),
         (F.col("doc_id") / bucket_width).cast("bigint").alias("bkt"),
     )
-    sums = {
-        r["bkt"]: r["s"]
-        for r in tokens.groupBy("bkt").agg(F.sum("n_tokens").alias("s")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in sorted(sums):
-        offsets[b] = acc
-        acc += sums[b]
-    off_df = F.broadcast(
-        docs.sparkSession.createDataFrame(
-            [(b, o) for b, o in offsets.items()], "bkt bigint, off bigint"
-        )
-    )
     from pyspark.sql import Window
 
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = F.broadcast(
+        tokens.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("s"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("s").over(w_off), F.lit(0)).cast("bigint").alias("off"),
+        )
+    )
     w = (
         Window.partitionBy("bkt")
         .orderBy("doc_id")

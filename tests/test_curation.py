@@ -263,6 +263,13 @@ def test_token_shards_matches_global_prefix_sum(spark, docs):
         ).collect()
     }
     assert out == out2
+    # bucket-width invariance: the derived ~sqrt(N) default width produces
+    # the same values as any explicit width (width shapes the plan only)
+    out3 = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"], r["shard_id"])
+        for r in textops.token_shards(docs, budget=500).collect()
+    }
+    assert out == out3
 
 
 def test_token_shards_contiguous_and_budget_bounded(spark, docs):

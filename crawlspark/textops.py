@@ -624,7 +624,36 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> DataFrame:
+# Corpus-DERIVED small sides (boilerplate-line set, pruned vocabulary) are
+# only "small" by assumption — web-scale corpora break it (10^9+ distinct
+# boilerplate lines / vocab tokens). Same auto-mode discipline as
+# config.bloom_broadcast_max_bytes: broadcast-hint the side only while its
+# measured row count stays under this cap (~64 B/row for an md5-hash or
+# token row → ~64 MB, the bloom chain's ceiling); above it the join runs
+# un-hinted (shuffle left_anti / shuffle join — same operator minus the
+# hint, digest-identical, tested both ways). README "auto-selection" table.
+BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _gated_broadcast(small: DataFrame, mode: bool | None, max_rows: int):
+    """Apply F.broadcast per `mode`: True/False force; None measures.
+    The measuring count persists `small` first so the decision job's work
+    is reused by the consuming join instead of recomputed."""
+    if mode is None:
+        from pyspark import StorageLevel
+
+        small = small.persist(StorageLevel.MEMORY_AND_DISK)
+        mode = small.count() <= max_rows
+    return F.broadcast(small) if mode else small
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    broadcast_common: bool | None = None,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """Corpus-frequency boilerplate line removal (CCNet-style paragraph
     dedup, public literature): every newline-separated line whose
     document frequency reaches `min_df` is dropped from every doc;
@@ -633,11 +662,14 @@ def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> Data
 
     Scale shape: lines explode once; the document-frequency aggregate is
     a map-side-combined count over (line_hash) after a per-doc distinct
-    (same shuffle class, keyed on the hash so it is uniform); the lines
-    that clear `min_df` are by construction FEW (boilerplate), so the
-    removal join is a BROADCAST left_anti — the corpus-sized side never
-    reshuffles. Reassembly sorts each doc's surviving (pos, line) structs
-    in-array (array_sort, no window) — per-row work, no second shuffle."""
+    (same shuffle class, keyed on the hash so it is uniform). The removal
+    join broadcasts the ≥min_df line set only while it MEASURES small
+    (`broadcast_common=None` counts it against `broadcast_max_rows`;
+    True/False force a mode) — "boilerplate is few" fails on web-scale or
+    duplicate-heavy corpora, where the un-hinted shuffle left_anti takes
+    over instead of OOMing executors. Reassembly sorts each doc's
+    surviving (pos, line) structs in-array (array_sort, no window) —
+    per-row work, no second shuffle."""
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
     exploded = docs.select(
         "doc_id", F.posexplode(lines).alias("pos", "line")
@@ -649,7 +681,11 @@ def line_dedup(docs: DataFrame, min_df: int = 3, text_col: str = "text") -> Data
         .agg(F.count(F.lit(1)).alias("df"))
     )
     common = df_counts.filter(F.col("df") >= min_df).select("h")
-    kept = exploded.join(F.broadcast(common), "h", "left_anti")
+    kept = exploded.join(
+        _gated_broadcast(common, broadcast_common, broadcast_max_rows),
+        "h",
+        "left_anti",
+    )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(
@@ -886,7 +922,12 @@ def url_quality(urls: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def unigram_logprob(docs: DataFrame, min_count: int = 2) -> DataFrame:
+def unigram_logprob(
+    docs: DataFrame,
+    min_count: int = 2,
+    broadcast_vocab: bool | None = None,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """Language-model perplexity proxy (CCNet-style quality signal,
     public literature — CCNet buckets docs by LM perplexity; the unigram
     log-probability is the train-free analog): per-doc mean log
@@ -896,17 +937,22 @@ def unigram_logprob(docs: DataFrame, min_count: int = 2) -> DataFrame:
     filter signals.
 
     Scale shape: ONE corpus-wide word-count aggregate (map-side combined,
-    result is vocabulary-sized — small after `min_count` pruning, zipf
-    tail dropped) broadcast back against the exploded words, then a
-    per-doc mean — the same two-shuffle class as every per-doc aggregate
-    here. OOV words score at the add-half floor (0.5/total), so the
-    metric is total-order stable across engines."""
+    result is vocabulary-sized), joined back against the exploded words,
+    then a per-doc mean — the same two-shuffle class as every per-doc
+    aggregate here. "Small after min_count pruning" only holds while the
+    zipf tail actually clears the corpus scale (min_count=2 over a
+    web-scale corpus still leaves 10^8+ tokens), so the vocab join is
+    broadcast-hinted only while the pruned vocabulary MEASURES under
+    `broadcast_max_rows` (`broadcast_vocab=None`; True/False force) —
+    above it the same join runs as a shuffle join, digest-identical.
+    OOV words score at the add-half floor (0.5/total), so the metric is
+    total-order stable across engines."""
     w = docs.select("doc_id", F.explode(words_col()).alias("w"))
     vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     kept = vocab.filter(F.col("c") >= min_count)
     total = vocab.agg(F.sum("c").alias("total"))  # 1 row, broadcast below
     joined = (
-        w.join(F.broadcast(kept), "w", "left")
+        w.join(_gated_broadcast(kept, broadcast_vocab, broadcast_max_rows), "w", "left")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",

@@ -230,6 +230,34 @@ def test_line_dedup_preserves_intra_doc_order(spark):
     assert out["clean_md5"] == hashlib.md5(text.encode()).hexdigest()
 
 
+def test_corpus_derived_broadcast_gate_paths_equal(spark, docs):
+    """The size gate on corpus-derived small sides (line_dedup common-line
+    set, unigram_logprob pruned vocab) must be plan-only: forced-broadcast,
+    forced-shuffle, and both auto outcomes (measured-small via the default
+    cap, measured-large via cap=0) all produce identical rows."""
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    variants = [
+        textops.line_dedup(docs, min_df=2, broadcast_common=True),
+        textops.line_dedup(docs, min_df=2, broadcast_common=False),
+        textops.line_dedup(docs, min_df=2),  # auto -> measures small
+        textops.line_dedup(docs, min_df=2, broadcast_max_rows=0),  # auto -> large
+    ]
+    base = rows(variants[0])
+    assert all(rows(v) == base for v in variants[1:])
+
+    uvariants = [
+        textops.unigram_logprob(docs, broadcast_vocab=True),
+        textops.unigram_logprob(docs, broadcast_vocab=False),
+        textops.unigram_logprob(docs),
+        textops.unigram_logprob(docs, broadcast_max_rows=0),
+    ]
+    ubase = rows(uvariants[0])
+    assert all(rows(v) == ubase for v in uvariants[1:])
+
+
 def test_corpus_mix_shares_sum_to_one(spark, docs):
     out = textops.corpus_mix(docs).collect()
     assert len(out) == docs.select("source").distinct().count()

@@ -9,9 +9,18 @@ URLs scheduled+deduped per second = Σ(selected + new_unique) / wall-sec of
 the round loop. Also times the headline operator queries from
 __spark_entry__.queries() at the same tier.
 
+JMH-style repetition (BENCH/BASELINE.md "steal diagnosis"): one discarded
+full-scale warmup iteration, then $SPARK_GRAFT_BENCH_REPEATS measured runs
+(default 3, fresh checkpoint each, identical config); the MEDIAN run is
+reported with every run's throughput (runs_urls_per_sec) and per-run
+hypervisor steal%% from /proc/stat (runs_steal_pct) — single runs on this
+box are bimodal under 8-24%% CPU-steal bursts, so the median measures the
+engine and the spread+steal columns make each draw auditable.
+
 Prints ONE JSON line:
   {"metric": "urls_scheduled_deduped_per_sec", "value": <total_sec>,
-   "unit": "sec", "queries": {...}, "sf": ..., "urls_per_sec": ...}
+   "unit": "sec", "queries": {...}, "sf": ..., "urls_per_sec": ...,
+   "runs_urls_per_sec": [...], "repeats": 3}
 """
 
 from __future__ import annotations
@@ -28,7 +37,39 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "4"))
+# JMH-style in-harness repetition: single runs on this box are bimodal
+# (561-1,790 URLs/s across 7 same-binary runs; 23-24% hypervisor CPU steal
+# measured in bursts — BENCH/BASELINE.md "steal diagnosis"). Running the
+# measured loop N times with a fresh checkpoint each and reporting the
+# MEDIAN makes the number measure the engine, not the hypervisor draw.
+# Every run's value is recorded in the JSON (runs_urls_per_sec) so the
+# spread is auditable — repetition, not cherry-picking.
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 SF_NAME = os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _cpu_stat():
+    """(steal_ticks, total_ticks) from /proc/stat — the direct hypervisor
+    evidence: steal% over a run's interval says whether a slow run was the
+    engine or the host. Returns (0, 0) when unreadable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return (0, 0)
+
+
+def _steal_pct(before, after) -> float:
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 1) if dt > 0 else 0.0
 
 
 def _default_shuffle() -> int:
@@ -124,6 +165,7 @@ def bench_crawl(spark) -> dict:
 
     per_round = {}
     total_urls = 0
+    stat0 = _cpu_stat()
     t0 = time.perf_counter()
     for r in range(1, ROUNDS + 1):
         tr = time.perf_counter()
@@ -133,7 +175,9 @@ def bench_crawl(spark) -> dict:
         if info["frontier"] == 0:
             break
     wall = time.perf_counter() - t0
+    steal = _steal_pct(stat0, _cpu_stat())
     return {
+        "steal_pct": steal,
         "wall_sec": wall,
         "init_sec": t_init,
         "urls": total_urls,
@@ -144,6 +188,9 @@ def bench_crawl(spark) -> dict:
 
 
 def bench_operator_queries(spark) -> dict:
+    """Median of REPEATS timings per operator query (same repetition
+    rationale as the crawl loop; each timing is ~0.3-0.8 s so a single
+    steal burst would otherwise dominate it)."""
     import __spark_entry__ as em
 
     picks = [
@@ -156,11 +203,13 @@ def bench_operator_queries(spark) -> dict:
     out = {}
     qs = em.queries()
     for name in picks:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        out[name] = round(time.perf_counter() - t0, 3)
-        _ = n
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.count()
+            times.append(time.perf_counter() - t0)
+        out[name] = round(_median(times), 3)
     return out
 
 
@@ -168,7 +217,23 @@ def main():
     spark = build_spark()
     spark.sparkContext.setLogLevel("ERROR")
     warm_spark(spark)
-    crawl = bench_crawl(spark)
+    # One DISCARDED full-scale iteration before the measured ones: the
+    # first at-scale run is reproducibly ~2× slower in the same JVM even
+    # after the toy-scale plan warmup (measured 449/1010/1929 and then
+    # 953/1958/1874 across two 3-run sessions — C2 tier-up + page cache at
+    # real data volume). Its throughput is still recorded below
+    # (warmup_urls_per_sec) so nothing is hidden.
+    warmup_run = bench_crawl(spark)
+    runs = [bench_crawl(spark) for _ in range(REPEATS)]
+    urls = runs[0]["urls"]
+    assert all(r["urls"] == urls for r in runs), (
+        "non-deterministic URL count across repeats: "
+        + str([r["urls"] for r in runs])
+    )
+    # Representative run = the one with median wall time (so per-round
+    # breakdown, wall, and urls_per_sec all come from the same run).
+    med_wall = _median([r["wall_sec"] for r in runs])
+    crawl = min(runs, key=lambda r: abs(r["wall_sec"] - med_wall))
     ops = bench_operator_queries(spark)
     queries = dict(crawl["per_round"])
     queries.update(ops)
@@ -181,8 +246,13 @@ def main():
         "sf": SF_NAME,
         "cpus": CPUS,
         "rounds": ROUNDS,
+        "repeats": REPEATS,
         "urls_scheduled_deduped": crawl["urls"],
         "urls_per_sec": round(crawl["urls_per_sec"], 1),
+        "runs_urls_per_sec": [round(r["urls_per_sec"], 1) for r in runs],
+        "runs_crawl_wall_sec": [round(r["wall_sec"], 3) for r in runs],
+        "runs_steal_pct": [r["steal_pct"] for r in runs],
+        "warmup_urls_per_sec": round(warmup_run["urls_per_sec"], 1),
         "crawl_wall_sec": round(crawl["wall_sec"], 3),
         "init_sec": round(crawl["init_sec"], 3),
     }

@@ -834,6 +834,24 @@ def _q_semantic_dedup(spark, sf_dir):
     return simsearch.semantic_dedup(emb.unionByName(planted))
 
 
+def _q_semantic_dedup_stats(spark, sf_dir):
+    """Hot-cluster audit for SemDeDup (simsearch.semantic_cluster_stats):
+    per-centroid vector counts, would-be pair volume, and the capped flag
+    under max_cluster_size — the lsh_band_stats mirror for the embedding
+    tier. Same planted input as semantic_dedup; cap=40 (vs the production
+    default 10,000) so the flag is exercised non-vacuously at sf0.01
+    (~506 vectors / 16 centroids ⇒ some clusters exceed 40)."""
+    from crawlspark import simsearch
+
+    emb = _tpch(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + F.lit(10000000)).alias("vec_id"), "embedding"
+    )
+    return simsearch.semantic_cluster_stats(
+        emb.unionByName(planted), max_cluster_size=40
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_extract": _q_link_extract,
@@ -888,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
         "semantic_dedup": _q_semantic_dedup,
+        "semantic_dedup_stats": _q_semantic_dedup_stats,
         "token_shards": _q_token_shards,
         "url_quality": _q_url_quality,
         "unigram_logprob": _q_unigram_logprob,
@@ -1026,7 +1045,11 @@ def _band_sql(emb: str, band: int) -> str:
 
 
 def _textops_oracle_sql() -> dict[str, str]:
-    from crawlspark.simsearch import IVF_CENTROIDS as _IVF_C, IVF_NPROBE as _IVF_P
+    from crawlspark.simsearch import (
+        IVF_CENTROIDS as _IVF_C,
+        IVF_NPROBE as _IVF_P,
+        SEMDEDUP_CLUSTER_CAP as _SEM_CAP,
+    )
     from crawlspark.textops import (
         LSH_BAND_CAP as _LSH_CAP,
         LSH_BANDS,
@@ -1509,8 +1532,11 @@ def _textops_oracle_sql() -> dict[str, str]:
                       SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                            ORDER BY c_cos DESC, cent_id ASC) AS arnk FROM sa)
                     WHERE arnk = 1),
+            sz AS (SELECT cent_id, COUNT(*) AS n FROM asg GROUP BY cent_id),
+            adm AS (SELECT asg.vec_id, asg.emb, asg.cent_id
+                    FROM asg JOIN sz USING (cent_id) WHERE sz.n <= {_SEM_CAP}),
             p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-                  FROM asg a JOIN asg b
+                  FROM adm a JOIN adm b
                   ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
                   WHERE {_cos_sql('a.emb', 'b.emb')} >= 0.95),
             sym AS (SELECT vec_a AS a, vec_b AS b FROM p
@@ -1523,6 +1549,26 @@ def _textops_oracle_sql() -> dict[str, str]:
             SELECT node AS vec_id, MIN(lbl) AS cluster_id,
                    node = MIN(lbl) AS is_rep
             FROM reach GROUP BY node
+            """,
+        "semantic_dedup_stats": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e ORDER BY vec_id LIMIT {_IVF_C}),
+            sa AS (SELECT e.vec_id, c.cent_id,
+                          {_cos_sql('e.emb', 'c.c_emb')} AS c_cos
+                   FROM e CROSS JOIN c),
+            asg AS (SELECT vec_id, cent_id FROM (
+                      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY c_cos DESC, cent_id ASC) AS arnk FROM sa)
+                    WHERE arnk = 1)
+            SELECT cent_id, COUNT(*) AS n_vecs,
+                   CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_pairs,
+                   COUNT(*) > 40 AS capped
+            FROM asg GROUP BY cent_id
             """,
     }
 

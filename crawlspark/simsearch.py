@@ -486,11 +486,39 @@ def embed_quantize(emb: DataFrame) -> DataFrame:
     )
 
 
+SEMDEDUP_CLUSTER_CAP = 10_000  # max vectors per cluster admitted to the pair join
+
+
+def semantic_cluster_stats(
+    emb: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    codebook: DataFrame | None = None,
+    max_cluster_size: int = SEMDEDUP_CLUSTER_CAP,
+) -> DataFrame:
+    """Per-cluster audit for semantic_dedup — the mirror of lsh_band_stats
+    for the SemDeDup family. One row per centroid: (cent_id, n_vecs,
+    n_pairs = n·(n−1)/2 the pair join WOULD generate, capped = whether
+    semantic_dedup excludes the cluster under the same max_cluster_size).
+    Run it with the same codebook/cap as the dedup call: Σ n_pairs over
+    uncapped rows is the exact candidate volume, and any capped=true row
+    is a degenerate hot cluster (e.g. empty-text embeddings collapsing
+    onto one centroid) that would otherwise go quadratic."""
+    if codebook is None:
+        codebook = default_codebook(emb, n_centroids)
+    assigned = ivf_assign(emb, codebook).select("vec_id", "cent_id")
+    return assigned.groupBy("cent_id").agg(
+        F.count("*").alias("n_vecs"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("bigint").alias("n_pairs"),
+        (F.count("*") > F.lit(max_cluster_size)).alias("capped"),
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.95,
     n_centroids: int = IVF_CENTROIDS,
     codebook: DataFrame | None = None,
+    max_cluster_size: int = SEMDEDUP_CLUSTER_CAP,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     literature): cluster the embedding space, compare pairs only WITHIN a
@@ -501,9 +529,13 @@ def semantic_dedup(
     Scale shape: the centroid assignment is a broadcast of the tiny
     codebook (ivf_assign); the quadratic pair step is BOUNDED BY CLUSTER —
     candidate volume is O(Σ cluster²), so n_centroids is sized with the
-    corpus (≈√N keeps expected cluster size √N and the join uniform;
-    hot clusters are visible in the per-cluster counts before the join).
-    The final grouping is the O(log diameter) pointer-jumping connected
+    corpus (≈√N keeps expected cluster size √N and the join uniform).
+    Clusters larger than max_cluster_size are EXCLUDED from the pair join
+    instead of joined quadratically (a single degenerate cluster — e.g.
+    empty-text embeddings all at one centroid — would otherwise dominate
+    the job); excluded clusters are visible as capped=true rows in
+    semantic_cluster_stats(same codebook, same cap), never silent. The
+    final grouping is the O(log diameter) pointer-jumping connected
     components, never a transitive closure in the driver. Cross-cluster
     near-dups are out of scope BY DESIGN (the SemDeDup trade: recall is
     bounded by the clustering — the banded embedding_neardup_pairs tier
@@ -513,6 +545,15 @@ def semantic_dedup(
     if codebook is None:
         codebook = default_codebook(emb, n_centroids)
     assigned = ivf_assign(emb, codebook).select("vec_id", "embedding", "cent_id")
+    # Hot-cluster guard: the admitted-cluster list is ≤ n_centroids rows
+    # (codebook-sized, corpus-independent), so the broadcast is safe.
+    admitted = (
+        assigned.groupBy("cent_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_cluster_size)
+        .select("cent_id")
+    )
+    assigned = assigned.join(F.broadcast(admitted), "cent_id")
     a = assigned.alias("a")
     b = assigned.alias("b")
     pairs = (

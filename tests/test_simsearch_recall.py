@@ -246,3 +246,51 @@ def test_semantic_dedup_pairs_only_within_cluster(spark, emb):
     for cl, members in by_cluster.items():
         cells = {assigned[m] for m in members}
         assert len(cells) == 1, f"cluster {cl} spans IVF cells {cells}"
+
+
+def test_semantic_dedup_hot_cluster_capped_not_quadratic(spark):
+    """Plant one degenerate hot cluster (51 identical vectors at one
+    centroid — the empty-text-embedding failure mode) next to a normal
+    near-dup pair. With max_cluster_size below the hot size the pair join
+    must EXCLUDE the hot cluster (no output rows for its members, normal
+    pair untouched), and semantic_cluster_stats must flag it capped=true
+    with the exact would-be pair volume — audited, never silent. With the
+    default cap the same input dedups the hot cluster normally."""
+    dims = 4
+    rows = []
+    for i in range(dims):  # ids 0..3: one-hot centroids
+        v = [0.0] * dims
+        v[i] = 1.0
+        rows.append((i, v))
+    rows.append((4, [2.0, 0.0, 0.0, 0.0]))  # near-dup of id 0 (cos 1.0)
+    rows.append((5, [1.0, 1.0, 1.0, 1.0]))  # hot direction's own centroid
+    hot = [(100 + k, [1.0, 1.0, 1.0, 1.0]) for k in range(50)]
+    df = spark.createDataFrame(
+        rows + hot, "vec_id bigint, embedding array<double>"
+    )
+    cb = simsearch.default_codebook(df, n_centroids=6)  # ids 0..5
+
+    stats = {
+        r["cent_id"]: r
+        for r in simsearch.semantic_cluster_stats(
+            df, codebook=cb, max_cluster_size=10
+        ).collect()
+    }
+    assert stats[5]["n_vecs"] == 51 and stats[5]["capped"]
+    assert stats[5]["n_pairs"] == 51 * 50 // 2
+    assert stats[0]["n_vecs"] == 2 and not stats[0]["capped"]
+    assert stats[0]["n_pairs"] == 1
+
+    capped = simsearch.semantic_dedup(
+        df, codebook=cb, max_cluster_size=10
+    ).collect()
+    got = {r["vec_id"]: r for r in capped}
+    assert set(got) == {0, 4}, "hot-cluster members must be excluded"
+    assert got[0]["is_rep"] and not got[4]["is_rep"]
+    assert got[0]["cluster_id"] == got[4]["cluster_id"] == 0
+
+    full = {r["vec_id"]: r for r in
+            simsearch.semantic_dedup(df, codebook=cb).collect()}
+    assert set(full) == {0, 4, 5} | {100 + k for k in range(50)}
+    assert full[5]["is_rep"] and full[5]["cluster_id"] == 5
+    assert all(not full[100 + k]["is_rep"] for k in range(50))

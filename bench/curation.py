@@ -83,15 +83,23 @@ n_emb = emb.count()
 # sink: force FULL computation of every output column (a bare count() lets
 # Catalyst prune projection expressions -- measured 6.7M "docs/s" for the
 # regex pass, i.e. nothing ran) and return an order-insensitive digest:
-# bit_xor of xxhash64 over all stringified columns. The digest doubles as
-# the cross-parallelism determinism check.
+# SUM of xxhash64 over all stringified columns, summed as decimal(38,0).
+# Not bit_xor: xor self-cancels on even multiplicities (two identical rows
+# contribute 0, so "row A dropped, row B duplicated" is invisible); sum is
+# order-insensitive but every duplicate shifts the total. Decimal because
+# Spark 4 ANSI mode makes bigint sum overflow a hard error and 10^6 hashes
+# of magnitude 2^63 overflow long almost surely; decimal(38,0) holds the
+# exact sum to ~10^19 rows. The digest doubles as the cross-parallelism
+# determinism check.
 def sink(df):
     cols = ", ".join("cast({{0}} as string)".format(c) for c in df.columns)
     row = df.select(
-        F.expr("bit_xor(xxhash64({{0}}))".format(cols)).alias("d"),
+        F.expr(
+            "sum(cast(xxhash64({{0}}) as decimal(38,0)))".format(cols)
+        ).alias("d"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return row["d"], row["n"]
+    return str(row["d"]), row["n"]
 
 
 OPS = {{

@@ -69,6 +69,15 @@ class CrawlConfig:
     # pickled closure (~100 B/host → ~10 MB broadcast at the threshold)
     robots_relational_threshold: int = 100_000
     fetch_arrow: bool = False
+    # opt-in pre-fetch URL quality filter (C4-style policy): drop candidate
+    # links whose canonical URL is path-blocklisted or carries a media
+    # extension (textops.url_quality classes) BEFORE the seen anti-join —
+    # they never enter seen/frontier, never get fetched. OFF by default
+    # because it changes the crawl's URL universe (a policy choice, not an
+    # engine knob); the pure-Python oracle mirrors it at the same stage
+    # (oracle/simulator.py) and the filtered count lands in lineage as
+    # stage='url_filtered' plus the round_info counter.
+    url_quality_filter: bool = False
     # adaptive politeness (heroshi-style backoff from observed server
     # behavior): a host whose fetched docs this round are >=50% errors gets
     # its delay multiplier doubled (budget shrinks, deferral stretches); an

@@ -42,6 +42,11 @@ class FetchSpec:
     path_space: int = 2000
     max_spans: int = 8
     not_found_mod: int = 23  # 1/23 of URLs 404
+    # opt-in URL-shape realism for exercising the pre-fetch quality filter
+    # (CrawlConfig.url_quality_filter): image/video refs get media
+    # extensions and ~1/17 of links a blocklisted path prefix. Off by
+    # default so every existing fixture/digest stays byte-identical.
+    media_exts: bool = False
 
 
 DEFAULT_SPEC = FetchSpec()
@@ -78,6 +83,13 @@ def span_at(url: str, j: int, spec: FetchSpec = DEFAULT_SPEC) -> dict:
         path = f"/private/{pid}"
     else:
         path = f"/p/{pid}"
+    if spec.media_exts:
+        if kind == "image":
+            path += ".jpg"
+        elif kind == "video":
+            path += ".mp4"
+        elif kind == "link" and hash_str(f"{url}#bl{j}") % 17 == 0:
+            path = "/casino" + path
     if rel < 20:
         ref = path  # path-absolute: resolves against the doc's own host
     elif rel < 28:

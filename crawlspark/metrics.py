@@ -31,6 +31,14 @@ def empty_lineage(spark) -> DataFrame:
     return spark.createDataFrame([], LINEAGE)
 
 
+def scalar_lineage(spark, round_: int, stage: str, rows: int) -> DataFrame:
+    """One aggregate lineage row (partition_id = -1) for counters observed
+    in-flight via Observation (e.g. the url_quality pre-fetch drop count),
+    where per-partition attribution would cost recomputing the dropped
+    slice of an already-consumed pass."""
+    return spark.createDataFrame([(round_, stage, -1, rows)], LINEAGE)
+
+
 def fetch_metrics(docs: DataFrame, round_: int) -> DataFrame:
     """A4: per-(round, host, status) fetch/parse metrics in one pass."""
     return (

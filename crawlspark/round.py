@@ -611,6 +611,24 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         robots_df=st.robots_df,
         relational=st.robots_relational,
     )
+    obs_uq = None
+    if cfg.url_quality_filter:
+        # opt-in pre-fetch URL policy filter (config.py): blocklisted /
+        # media-extension candidates drop HERE — after canon+robots, before
+        # the bloom probe and exact anti-join, so they never cost a probe
+        # and never enter seen/frontier. The dropped count rides the
+        # candidate pass as an Observation (CollectMetrics is a pushdown
+        # barrier, so the filter below cannot leak past the count); the
+        # oracle applies textops.url_quality_keep_py at the same stage.
+        from . import textops
+
+        obs_uq = Observation()
+        cands = cands.observe(
+            obs_uq,
+            F.sum(
+                (~textops.url_quality_keep(F.col("url"))).cast("long")
+            ).alias("n_filtered"),
+        ).filter(textops.url_quality_keep(F.col("url")))
     if relational_bloom and cfg.use_bloom_prefilter:
         # executor-side probe: cogroup on bucket against the blob ROWS —
         # no broadcast payload, no driver registry (scale path, config.py)
@@ -658,6 +676,14 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     lineage = metrics.partition_lineage(ordered, r, "selected").unionByName(
         metrics.partition_lineage(new, r, "new")
     )
+    n_url_filtered = 0
+    if obs_uq is not None:
+        # obs_new above already forced the candidate pass, so this get is
+        # a no-wait read; sum() over an empty batch is NULL, hence the or-0
+        n_url_filtered = int(obs_uq.get["n_filtered"] or 0)
+        lineage = lineage.unionByName(
+            metrics.scalar_lineage(spark, r, "url_filtered", n_url_filtered)
+        )
     fetch_m = metrics.fetch_metrics(docs_r, r)
     lm_futures = []
     if cfg.async_lineage_metrics:
@@ -756,9 +782,10 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         _t.pop("_last", None)
         print(f"[timing] round {r}: {_t}")
 
-    store.commit_round(
-        r, {"selected": n_selected, "new": n_new, "frontier": n_frontier}
-    )
+    info_counters = {"selected": n_selected, "new": n_new, "frontier": n_frontier}
+    if cfg.url_quality_filter:
+        info_counters["url_filtered"] = n_url_filtered
+    store.commit_round(r, info_counters)
     if _elig_cached is not None:
         _elig_cached.unpersist()
     ordered.unpersist()
@@ -768,7 +795,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     cands.unpersist()
     new.unpersist()
     st.next_round = r + 1
-    return {"round": r, "selected": n_selected, "new": n_new, "frontier": n_frontier}
+    return {"round": r, **info_counters}
 
 
 def run_crawl(st: CrawlState, max_rounds: int) -> list[dict]:

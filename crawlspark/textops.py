@@ -22,6 +22,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -920,6 +921,34 @@ def url_quality(urls: DataFrame, url_col: str = "url") -> DataFrame:
         .alias("ext_class"),
         (F.regexp_count(path_part, F.lit(URL_BLOCKLIST)) > 0).alias("blocklisted"),
     )
+
+
+def url_quality_keep(url_col) -> "F.Column":
+    """Boolean keep-predicate for the crawl path's opt-in pre-fetch URL
+    filter (CrawlConfig.url_quality_filter): drop path-blocklisted URLs
+    and media extensions — the same classes url_quality reports, as one
+    codegen string/regex expression over the canonical URL (no shuffle;
+    rides the candidate scan). url_quality_keep_py is the bit-equal
+    pure-Python mirror the crawl oracle applies at the same stage."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    path_part = F.substring_index(u, "?", 1)
+    ext = F.lower(F.regexp_extract(path_part, "[.]([A-Za-z0-9]{1,5})$", 1))
+    return (F.regexp_count(path_part, F.lit(URL_BLOCKLIST)) == 0) & ~ext.isin(
+        URL_MEDIA_EXTS
+    )
+
+
+_URL_BLOCKLIST_RE = re.compile(URL_BLOCKLIST)
+_URL_EXT_RE = re.compile(r"\.([A-Za-z0-9]{1,5})$")
+
+
+def url_quality_keep_py(url: str) -> bool:
+    """Pure-Python mirror of url_quality_keep (oracle/simulator tier)."""
+    path_part = url.split("?", 1)[0]
+    if _URL_BLOCKLIST_RE.search(path_part):
+        return False
+    m = _URL_EXT_RE.search(path_part)
+    return not (m and m.group(1).lower() in URL_MEDIA_EXTS)
 
 
 def unigram_logprob(

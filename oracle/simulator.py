@@ -24,6 +24,7 @@ from crawlspark import urlnorm
 from crawlspark.config import CrawlConfig
 from crawlspark.robots import allowed as robots_allowed
 from crawlspark.robots import rules_for_host
+from crawlspark.textops import url_quality_keep_py
 from crawlspark.xxh64 import hash_str
 
 
@@ -142,6 +143,7 @@ def simulate(
         raw_cands: list[Entry] = []
         new_cand: dict[int, Entry] = {}
         fetch_stats: dict[int, list[int]] = {}  # host_hash -> [n, err]
+        uq_filtered: set[int] = set()  # distinct url_hashes dropped by F6b
         for e, _rank in selected:
             status, spans = fs.simulate_fetch(e.url, spec)
             res.docs.append((fs.doc_id_of(e.url_hash), e.url, r, status, spans))
@@ -167,6 +169,14 @@ def simulate(
                 if depth > cfg.max_depth:
                     continue
                 if not _robots_ok(url, host):
+                    continue
+                if cfg.url_quality_filter and not url_quality_keep_py(url):
+                    # opt-in pre-fetch URL policy filter — the engine drops
+                    # these after candidate dedup, before the seen anti-join
+                    # (round.py); the predicate is constant per canonical
+                    # URL so filtering here (pre-dedup) is equivalent, and
+                    # the engine's Observation counts DISTINCT dropped URLs
+                    uq_filtered.add(uh)
                     continue
                 raw_cands.append(Entry(url, uh, host, hh, prio, depth, r, r + 1))
                 old = new_cand.get(uh)
@@ -206,14 +216,15 @@ def simulate(
             next_frontier[uh] = e
         frontier = next_frontier
         res.frontier_by_round[r] = sorted((replace(e) for e in frontier.values()), key=lambda e: (e.url_hash,))
-        res.rounds.append(
-            {
-                "round": r,
-                "selected": len(selected),
-                "new": len(new_entries),
-                "frontier": len(frontier),
-            }
-        )
+        round_info = {
+            "round": r,
+            "selected": len(selected),
+            "new": len(new_entries),
+            "frontier": len(frontier),
+        }
+        if cfg.url_quality_filter:
+            round_info["url_filtered"] = len(uq_filtered)
+        res.rounds.append(round_info)
         if not frontier:
             break
     return res

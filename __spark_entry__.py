@@ -852,6 +852,43 @@ def _q_semantic_dedup_stats(spark, sf_dir):
     )
 
 
+def _docs_with_urls(spark, sf_dir):
+    """Span docs joined with their own URLs (doc_urls side table — the
+    span fixture's shape is pinned by the BASELINE input_hint, so the URL
+    rides a separate fixture keyed by doc_id)."""
+    fx = _fx(spark, sf_dir)
+    spans = spark.read.parquet(os.path.join(fx, "documents_spans.parquet"))
+    urls = spark.read.parquet(os.path.join(fx, "doc_urls.parquet"))
+    return spans.join(urls, "doc_id")
+
+
+def _q_host_graph(spark, sf_dir):
+    """Weighted host link graph (linkgraph.host_edges): link spans →
+    (src_host, dst_host, n_links); relative refs resolve to the source
+    host, absolute refs to their own authority."""
+    from crawlspark import linkgraph
+
+    return linkgraph.host_edges(_docs_with_urls(spark, sf_dir))
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """Weighted PageRank over the host graph (linkgraph.host_pagerank),
+    fixed 4 iterations, damping 0.85 — the classic crawl-priority source;
+    the oracle unrolls the identical iterations as a CTE chain."""
+    from crawlspark import linkgraph
+
+    edges = linkgraph.host_edges(_docs_with_urls(spark, sf_dir))
+    return linkgraph.host_pagerank(edges, n_iter=4)
+
+
+def _q_anchor_stats(spark, sf_dir):
+    """Per-target-host anchor-text statistics (linkgraph.anchor_stats):
+    inlink totals + modal anchor, ties broken lexicographically."""
+    from crawlspark import linkgraph
+
+    return linkgraph.anchor_stats(_docs_with_urls(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_extract": _q_link_extract,
@@ -910,6 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": _q_token_shards,
         "url_quality": _q_url_quality,
         "unigram_logprob": _q_unigram_logprob,
+        "host_graph": _q_host_graph,
+        "host_pagerank": _q_host_pagerank,
+        "anchor_stats": _q_anchor_stats,
     }
 
 
@@ -1573,6 +1613,94 @@ def _textops_oracle_sql() -> dict[str, str]:
     }
 
 
+# -- DuckDB oracle builders for the link-graph family (crawlspark.linkgraph;
+# same HOST_RE on both sides, relative refs resolve to the source host) -----
+
+_HOST_RE_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)"
+
+
+def _linkgraph_prefix(dsp: str, dur: str) -> str:
+    """Shared CTE chain: span docs ⋈ doc_urls → link rows → resolved
+    (src_host, dst_host, anchor) → weighted edge aggregate."""
+    return f"""
+        WITH j AS (
+          SELECT u.url, d.spans
+          FROM read_parquet('{dsp}') d
+          JOIN read_parquet('{dur}') u ON d.doc_id = u.doc_id
+        ),
+        l AS (
+          SELECT regexp_extract(url, '{_HOST_RE_SQL}', 1) AS src_host,
+                 s.text AS anchor, s.media_ref AS ref
+          FROM (SELECT url,
+                       unnest(list_filter(spans, s -> s.kind = 'link'
+                              AND s.media_ref IS NOT NULL AND s.media_ref <> '')) AS s
+                FROM j) t
+        ),
+        links AS (
+          SELECT src_host,
+                 CASE WHEN regexp_matches(ref, '{_HOST_RE_SQL}')
+                      THEN regexp_extract(ref, '{_HOST_RE_SQL}', 1)
+                      ELSE src_host END AS dst_host,
+                 anchor
+          FROM l
+        ),
+        edges AS (SELECT src_host, dst_host, COUNT(*) AS n_links
+                  FROM links GROUP BY src_host, dst_host)"""
+
+
+def _pagerank_sql(dsp: str, dur: str, n_iter: int = 4, damping: float = 0.85) -> str:
+    """Unrolled power iteration — the SAME fixed iterations the Spark
+    operator runs, as a CTE chain. Float literals are Python reprs of the
+    exact doubles the Spark side computes ((1-d) is COMPUTED in Python on
+    the Spark side, so 0.15000000000000002, not 0.15)."""
+    d, t = repr(damping), repr(1.0 - damping)
+    s = _linkgraph_prefix(dsp, dur) + """,
+        nodes AS (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL SELECT dst_host AS host FROM edges)),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src_host, SUM(n_links) AS w_out FROM edges GROUP BY src_host),
+        share AS (SELECT e.src_host, e.dst_host,
+                         CAST(e.n_links AS DOUBLE) / o.w_out AS share
+                  FROM edges e JOIN outw o USING (src_host)),
+        r0 AS (SELECT host, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    for k in range(1, n_iter + 1):
+        s += f""",
+        c{k} AS (SELECT s.dst_host, SUM(r.pr * s.share) AS c
+                 FROM share s JOIN r{k - 1} r ON s.src_host = r.host
+                 GROUP BY s.dst_host),
+        r{k} AS (SELECT nodes.host,
+                        {t} / nn.n + {d} * COALESCE(c{k}.c, 0.0) AS pr
+                 FROM nodes CROSS JOIN nn
+                 LEFT JOIN c{k} ON nodes.host = c{k}.dst_host)"""
+    return s + f"\n        SELECT host, round(pr, 6) AS pr FROM r{n_iter}"
+
+
+def _linkgraph_oracle_sql() -> dict[str, str]:
+    dsp = _fx_path("documents_spans.parquet")
+    dur = _fx_path("doc_urls.parquet")
+    return {
+        "host_graph": _linkgraph_prefix(dsp, dur)
+        + "\n        SELECT src_host, dst_host, n_links FROM edges",
+        "host_pagerank": _pagerank_sql(dsp, dur, n_iter=4),
+        "anchor_stats": _linkgraph_prefix(dsp, dur)
+        + """,
+        totals AS (SELECT dst_host, COUNT(*) AS n_inlinks,
+                          COUNT(DISTINCT src_host) AS n_src_hosts,
+                          COUNT(DISTINCT anchor) AS n_anchors
+                   FROM links GROUP BY dst_host),
+        pair AS (SELECT dst_host, anchor, COUNT(*) AS cnt
+                 FROM links GROUP BY dst_host, anchor),
+        top AS (SELECT dst_host, anchor AS top_anchor, cnt AS top_anchor_n
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dst_host
+                          ORDER BY cnt DESC, anchor ASC) AS rn FROM pair)
+                WHERE rn = 1)
+        SELECT t.dst_host, t.n_inlinks, t.n_src_hosts, t.n_anchors,
+               top.top_anchor, top.top_anchor_n
+        FROM totals t JOIN top ON t.dst_host = top.dst_host""",
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     dsp = _fx_path("documents_spans.parquet")
     fro = _fx_path("frontier.parquet")
@@ -1587,12 +1715,14 @@ def oracle_sql() -> dict[str, str]:
     from crawlspark import fixtures as _fixtures
 
     _fixtures.materialize_expected_fixtures("sf0.01")
+    _fixtures.materialize_doc_url_fixtures("sf0.01")
 
     def _exp(name: str) -> str:
         return os.path.join(_REPO, "fixtures", "sf0.01", name)
 
     r = FIXTURE_ROUND
     out = _textops_oracle_sql()
+    out.update(_linkgraph_oracle_sql())
     out.update({
         "url_quality": f"""
             WITH f AS (SELECT url, url_hash FROM read_parquet('{fro}')),

@@ -55,6 +55,13 @@ def seeds_for_sf(sf_name: str) -> list[str]:
     ]
 
 
+def _doc_url(i: int, spec: FetchSpec) -> tuple[str, str]:
+    """(doc_id, url) of fixture doc i — the ONE definition both the span
+    fixture and the doc_urls fixture derive from, so they stay in lockstep."""
+    doc_id = f"doc{i:08d}"
+    return doc_id, f"http://h{hash_str(doc_id) % spec.n_hosts}.example/fx/{i}"
+
+
 def documents_spans_rows(n_docs: int, spec: FetchSpec) -> list[tuple[str, list[dict]]]:
     """FIXTURES.md §1 interleaved spans fixture — exactly the BASELINE
     input_hint shape (doc_id, spans). Span content is generated through the
@@ -64,13 +71,22 @@ def documents_spans_rows(n_docs: int, spec: FetchSpec) -> list[tuple[str, list[d
 
     rows = []
     for i in range(n_docs):
-        doc_id = f"doc{i:08d}"
-        url = f"http://h{hash_str(doc_id) % spec.n_hosts}.example/fx/{i}"
+        doc_id, url = _doc_url(i, spec)
         status, spans = simulate_fetch(url, spec)
         if spans is None:
             spans = [{"kind": "text", "text": f"t404_{i}", "media_ref": None, "offset": 0}]
         rows.append((doc_id, spans))
     return rows
+
+
+def doc_url_rows(n_docs: int, spec: FetchSpec) -> list[tuple[str, str]]:
+    """(doc_id, url) for every span-fixture doc — the document's own URL,
+    which the span fixture omits (its shape is pinned by the BASELINE
+    input_hint). Stored as a side table so the link-graph oracles can
+    resolve relative refs against the source host without reimplementing
+    xxhash64 in DuckDB (same stored-hash discipline as the crawl-state
+    fixtures, SURVEY.md §6.3)."""
+    return [_doc_url(i, spec) for i in range(n_docs)]
 
 
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
@@ -98,11 +114,12 @@ def materialize_fixtures(spark, sf_name: str, n_docs: int | None = None) -> str:
     out = fixture_dir(sf_name)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
+        _materialize_doc_urls(spark, sf_name, out, n_docs)
         return out
     os.makedirs(out, exist_ok=True)
     spec = spec_for_sf(sf_name)
     if n_docs is None:
-        n_docs = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 50000}.get(sf_name, 1000)
+        n_docs = _default_n_docs(sf_name)
 
     def write(df, name, parts=4):
         df.repartition(parts).write.mode("overwrite").parquet(os.path.join(out, name))
@@ -180,6 +197,49 @@ def materialize_fixtures(spark, sf_name: str, n_docs: int | None = None) -> str:
         )
     with open(done, "w") as f:
         f.write("ok\n")
+    _materialize_doc_urls(spark, sf_name, out, n_docs)
+    return out
+
+
+def _default_n_docs(sf_name: str) -> int:
+    return {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 50000}.get(sf_name, 1000)
+
+
+def _materialize_doc_urls(spark, sf_name: str, out: str, n_docs: int | None) -> None:
+    """Additive upgrade of an existing fixture dir (same pattern as
+    ``_DONE_EXPECTED``): writes ``doc_urls.parquet`` once, marker-gated, so
+    committed fixture parquet is never rewritten. Written with pyarrow
+    directly (driver-side, tiny) so the oracle side can materialize it
+    without a SparkSession; laid out as a directory of one part file so
+    both ``spark.read.parquet(dir)`` and DuckDB's ``dir/*.parquet`` glob
+    read it like every other fixture table. ``spark`` is unused and
+    accepted only for call-site symmetry."""
+    del spark
+    marker = os.path.join(out, "_DONE_DOCURLS")
+    if os.path.exists(marker):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = spec_for_sf(sf_name)
+    rows = doc_url_rows(n_docs or _default_n_docs(sf_name), spec)
+    tdir = os.path.join(out, "doc_urls.parquet")
+    os.makedirs(tdir, exist_ok=True)
+    table = pa.table(
+        {"doc_id": [r[0] for r in rows], "url": [r[1] for r in rows]},
+        schema=pa.schema([("doc_id", pa.string()), ("url", pa.string())]),
+    )
+    pq.write_table(table, os.path.join(tdir, "part-0.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
+def materialize_doc_url_fixtures(sf_name: str) -> str:
+    """Spark-free entry point (oracle side): ensure doc_urls.parquet exists
+    for an already-materialized fixture dir."""
+    out = fixture_dir(sf_name)
+    if os.path.isdir(out):
+        _materialize_doc_urls(None, sf_name, out, None)
     return out
 
 

@@ -1,0 +1,173 @@
+"""Host-level link-graph analytics over interleaved span documents.
+
+A crawler's frontier prioritization ultimately wants graph signals: which
+hosts are heavily linked, by whom, and with what anchor text. Heroshi's
+frontier treats priority as an input column (SURVEY.md §3 W1/W2); this
+module computes the classic priority *sources* — a weighted host graph,
+PageRank over it, and per-target anchor-text statistics — Spark-first and
+oracle-mirrored (every operator has an exact DuckDB SQL twin in
+__spark_entry__.py).
+
+Everything is pure JVM (built-in functions only — no Python UDFs):
+
+- ``host_edges``: explode link spans once, resolve the target *authority*
+  (absolute ref → its own host; path-absolute / dotted-relative ref → the
+  source host — full URL resolution is U-2 ``resolve_batch``'s job; at the
+  host level only the authority matters), then ONE map-side-combined
+  groupBy. Scale shape: linear scan + one shuffle on (src_host, dst_host),
+  output is host-pair-sized (≪ corpus).
+- ``host_pagerank``: weighted power iteration with a FIXED iteration count
+  so the whole computation is one lazy Catalyst plan (no driver loop state,
+  no eager job at construction — the same laziness discipline the advisor
+  required of token_shards). Each iteration is join(share, rank) →
+  groupBy(dst) → left join back to the node set; all joins key on host
+  strings over a host-cardinality table (tiny relative to the corpus — the
+  graph aggregate is the scale reduction, the iterations run over it).
+  Dangling hosts (no outlinks) simply leak their mass, the standard
+  simplification; ranks then sum to < 1 but the ORDERING — the thing a
+  scheduler consumes — is unaffected. For very large host sets callers
+  pass ``persist_shares=True`` so the per-edge share table (reused by every
+  iteration) is computed once instead of per-iteration.
+- ``anchor_stats``: per target host, inlink totals plus the modal anchor
+  text (ties broken lexicographically — deterministic at any parallelism).
+
+Float discipline: ranks are rounded to 6 decimals at the OUTPUT only
+(iterations keep full double precision); matches the repo-wide
+cross-engine convention (textops/simsearch round(·, 6)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# authority component of an absolute URL/ref; mirrored verbatim in DuckDB
+HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)"
+
+
+def _link_spans(docs: DataFrame) -> DataFrame:
+    """(src_host, anchor, ref) — one row per link span. ``docs`` must carry
+    ``url`` (the document's own URL) and ``spans``."""
+    ls = docs.select(
+        F.regexp_extract("url", HOST_RE, 1).alias("src_host"),
+        F.explode(
+            F.filter(
+                "spans",
+                lambda s: (s["kind"] == "link")
+                & s["media_ref"].isNotNull()
+                & (s["media_ref"] != ""),
+            )
+        ).alias("s"),
+    )
+    return ls.select(
+        "src_host",
+        F.col("s.text").alias("anchor"),
+        F.col("s.media_ref").alias("ref"),
+    )
+
+
+def _dst_host():
+    """Target authority: absolute ref → its host, else (path-absolute or
+    dotted-relative) the source host."""
+    return F.when(
+        F.col("ref").rlike(HOST_RE), F.regexp_extract("ref", HOST_RE, 1)
+    ).otherwise(F.col("src_host"))
+
+
+def host_edges(docs: DataFrame) -> DataFrame:
+    """Weighted host link graph: (src_host, dst_host, n_links).
+
+    One explode + one groupBy; the aggregate is host-pair-sized, so this is
+    the step that reduces a 100 TB document scan to a graph that the
+    iterative operators below can afford to re-join repeatedly."""
+    e = _link_spans(docs).select("src_host", _dst_host().alias("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+def host_pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    persist_shares: bool = False,
+) -> DataFrame:
+    """Weighted PageRank over (src_host, dst_host, n_links) → (host, pr).
+    (The value column is named ``pr`` — ``rank`` is a window-function
+    keyword in some engines.)
+
+    pr_{k+1}(v) = (1-d)/N + d * Σ_{u→v} pr_k(u) · w(u,v)/W_out(u),
+    N computed INSIDE the plan (1-row aggregate, broadcast) so construction
+    stays lazy. ``n_iter`` is fixed — the oracle unrolls the same
+    iterations as a CTE chain, and a fixed count keeps the Catalyst plan
+    finite and the result deterministic (no convergence-threshold races
+    across engines)."""
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("w_out"))
+    share = edges.join(out_w, "src_host").select(
+        "src_host",
+        "dst_host",
+        (F.col("n_links").cast("double") / F.col("w_out")).alias("share"),
+    )
+    if persist_shares:
+        share = share.localCheckpoint(eager=False)
+    base = nodes.crossJoin(F.broadcast(n1))  # (host, n_nodes)
+    rank = base.select("host", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("pr"))
+    for _ in range(n_iter):
+        contrib = (
+            share.join(rank, share["src_host"] == rank["host"])
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("c"))
+        )
+        rank = (
+            base.join(contrib, base["host"] == contrib["dst_host"], "left")
+            .select(
+                "host",
+                "n_nodes",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return rank.select("host", F.round("pr", 6).alias("pr"))
+
+
+def anchor_stats(docs: DataFrame) -> DataFrame:
+    """Per target host: inlink totals and the modal anchor text.
+
+    Output: (dst_host, n_inlinks, n_src_hosts, n_anchors, top_anchor,
+    top_anchor_n). ``top_anchor`` is the most frequent anchor string for
+    the host, ties → lexicographically smallest (deterministic under any
+    partitioning). Two aggregations over the exploded links — totals
+    directly, modal anchor via a (dst_host, anchor) count + one window
+    over the per-pair aggregate (pair-cardinality input, not corpus) —
+    then a join on dst_host."""
+    links = _link_spans(docs).select(
+        "src_host", _dst_host().alias("dst_host"), "anchor"
+    )
+    totals = links.groupBy("dst_host").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+        F.countDistinct("anchor").alias("n_anchors"),
+    )
+    pair = links.groupBy("dst_host", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    top = (
+        pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dst_host",
+            F.col("anchor").alias("top_anchor"),
+            F.col("cnt").alias("top_anchor_n"),
+        )
+    )
+    return totals.join(top, "dst_host")

@@ -1,0 +1,146 @@
+"""Link-graph operator properties (crawlspark.linkgraph): edge
+conservation and relative-ref resolution, PageRank vs a NumPy power-
+iteration reference, deterministic anchor tie-breaks, laziness of
+construction, and parallelism invariance of the rounded ranks.
+(Cross-engine value equality for the three driver queries is covered by
+tests/test_driver_contract.py, which auto-picks every queries() entry.)"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawlspark import linkgraph
+
+SPAN_SCHEMA = (
+    "doc_id string, url string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, SPAN_SCHEMA)
+
+
+def _span(kind, text, ref, off):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+@pytest.fixture()
+def small_docs(spark):
+    return _docs(
+        spark,
+        [
+            # absolute, path-absolute, dotted-relative, non-link (ignored)
+            (
+                "d0",
+                "http://a.example/x",
+                [
+                    _span("link", "go b", "http://b.example/p/1", 0),
+                    _span("link", "self", "/p/2", 1),
+                    _span("link", "self", "../p/3", 2),
+                    _span("image", "", "http://c.example/i.jpg", 3),
+                    _span("text", "hello", None, 4),
+                ],
+            ),
+            (
+                "d1",
+                "http://b.example/y",
+                [
+                    _span("link", "go a", "http://a.example/p/9", 0),
+                    _span("link", "go a", "http://a.example/p/10", 1),
+                ],
+            ),
+        ],
+    )
+
+
+def test_host_edges_resolution_and_conservation(small_docs):
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in linkgraph.host_edges(small_docs).collect()
+    }
+    # image/text spans excluded; relative refs land on the SOURCE host
+    assert edges == {
+        ("a.example", "b.example"): 1,
+        ("a.example", "a.example"): 2,
+        ("b.example", "a.example"): 2,
+    }
+    n_link_spans = small_docs.select(
+        F.explode(F.filter("spans", lambda s: s["kind"] == "link"))
+    ).count()
+    assert sum(edges.values()) == n_link_spans
+
+
+def test_pagerank_matches_numpy_reference(spark, small_docs):
+    edges = linkgraph.host_edges(small_docs)
+    got = {r["host"]: r["pr"] for r in linkgraph.host_pagerank(edges, n_iter=4).collect()}
+
+    # independent dense power iteration (same fixed count, same damping)
+    import numpy as np
+
+    hosts = sorted(got)
+    idx = {h: i for i, h in enumerate(hosts)}
+    w = np.zeros((len(hosts), len(hosts)))
+    for r in edges.collect():
+        w[idx[r["src_host"]], idx[r["dst_host"]]] += r["n_links"]
+    share = w / w.sum(axis=1, keepdims=True)
+    n = len(hosts)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(4):
+        pr = (1.0 - 0.85) / n + 0.85 * (share.T @ pr)
+    for h in hosts:
+        assert got[h] == pytest.approx(pr[idx[h]], abs=2e-6)
+    # no dangling hosts in this graph → total mass conserved
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_lazy_and_parallelism_invariant(spark, small_docs):
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    df = linkgraph.host_pagerank(linkgraph.host_edges(small_docs), n_iter=3)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "host_pagerank construction must not run a job"
+
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(
+        map(
+            tuple,
+            linkgraph.host_pagerank(
+                linkgraph.host_edges(small_docs.repartition(7)), n_iter=3
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_anchor_stats_tie_break(spark):
+    docs = _docs(
+        spark,
+        [
+            (
+                "d0",
+                "http://a.example/",
+                [
+                    _span("link", "zeta", "http://t.example/1", 0),
+                    _span("link", "alpha", "http://t.example/2", 1),
+                ],
+            ),
+            (
+                "d1",
+                "http://b.example/",
+                [
+                    _span("link", "zeta", "http://t.example/3", 0),
+                    _span("link", "alpha", "http://t.example/4", 1),
+                ],
+            ),
+        ],
+    )
+    rows = linkgraph.anchor_stats(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 2-2 tie between 'alpha' and 'zeta' → lexicographically smallest wins
+    assert (r["dst_host"], r["top_anchor"], r["top_anchor_n"]) == (
+        "t.example",
+        "alpha",
+        2,
+    )
+    assert (r["n_inlinks"], r["n_src_hosts"], r["n_anchors"]) == (4, 2, 2)

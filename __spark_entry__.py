@@ -852,6 +852,17 @@ def _q_semantic_dedup_stats(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (textops.pack_sequences): deterministic
+    md5 pseudo-shuffle, 8 shards, packs cut every 512 tokens; per-doc
+    pack id, offset, and boundary-crossing flag."""
+    from crawlspark import textops
+
+    return textops.pack_sequences(
+        _tpch(spark, sf_dir, "documents"), context_len=512, n_shards=8
+    )
+
+
 def _docs_with_urls(spark, sf_dir):
     """Span docs joined with their own URLs (doc_urls side table — the
     span fixture's shape is pinned by the BASELINE input_hint, so the URL
@@ -950,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
         "anchor_stats": _q_anchor_stats,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1525,6 +1537,31 @@ def _textops_oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
                    CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 1000)
                         AS BIGINT) AS shard_id
+            FROM c
+            """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+                     CAST(((strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR) || '#packshard'), 1, 1)) - 1) * 16
+                           + strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR) || '#packshard'), 2, 1)) - 1)
+                          % 8 AS INTEGER) AS shard,
+                     substr(md5(CAST(doc_id AS VARCHAR) || '#ord'), 1, 8) AS ordkey
+              FROM documents),
+            c AS (SELECT doc_id, shard, n_tokens,
+                         CAST(COALESCE(SUM(n_tokens) OVER (
+                              PARTITION BY shard ORDER BY ordkey, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS BIGINT) AS cum_before
+                  FROM t)
+            SELECT doc_id, shard, n_tokens,
+                   CAST(floor(CAST(cum_before AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+                   CAST(cum_before % 512 AS BIGINT) AS offset_in_pack,
+                   n_tokens > 0 AND
+                     floor(CAST(cum_before + n_tokens - 1 AS DOUBLE) / 512)
+                       > floor(CAST(cum_before AS DOUBLE) / 512) AS crosses_boundary
             FROM c
             """,
         "corpus_mix": f"""

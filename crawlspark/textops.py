@@ -802,6 +802,79 @@ def token_shards(
     )
 
 
+def _md5_hex_byte(key, salt: str) -> "F.Column":
+    """First md5 byte of ``key || '#salt'`` as 0..255 — via two hex-char
+    lookups in '0123456789abcdef', the one int-from-hash construction both
+    engines share bit-for-bit (DuckDB has no xxhash64/conv; strpos/instr +
+    substring are identical)."""
+    h = f"md5(concat(cast({key} as string), '#{salt}'))"
+    hx = "'0123456789abcdef'"
+    return F.expr(
+        f"(instr({hx}, substring({h}, 1, 1)) - 1) * 16"
+        f" + instr({hx}, substring({h}, 2, 1)) - 1"
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, context_len: int = 2048, n_shards: int = 8, salt: str = "pack"
+) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): documents are
+    pseudo-shuffled deterministically, concatenated per shard, and cut
+    every ``context_len`` tokens; each doc reports the pack its first
+    token lands in, its offset inside that pack, and whether it straddles
+    a pack boundary (the rows a loss-masking loader treats specially).
+
+    Unlike ``token_shards`` (contiguous doc_id order — shard-boundary
+    accounting), packing wants the TRAINING order: a deterministic
+    hash-derived permutation (md5 of doc_id — no RNG state, identical at
+    any parallelism and in any engine), sharded so the per-shard window
+    sort is the only non-mapside step.
+
+    Scale shape: shard = first md5 byte mod ``n_shards`` ⇒ each window
+    partition holds ≈N/n_shards rows; the sort per partition is the
+    irreducible cost of sequencing (at 10^10 docs, pick n_shards so a
+    shard's (doc_id, ordkey, n_tokens) triples fit an executor — e.g.
+    2^14 shards ⇒ ~6×10^5 rows each). No global window, no driver state,
+    fully lazy. Docs with 0 tokens get offset rows but never cross."""
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        F.size(words_col()).cast("bigint").alias("n_tokens"),
+        (_md5_hex_byte("doc_id", salt + "shard") % n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.expr("substring(md5(concat(cast(doc_id as string), '#ord')), 1, 8)").alias(
+            "ordkey"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ordkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("cum_before") / context_len).cast("bigint").alias("pack_id"),
+        (F.col("cum_before") % context_len).cast("bigint").alias("offset_in_pack"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / context_len)
+                > F.floor(F.col("cum_before") / context_len)
+            )
+        ).alias("crosses_boundary"),
+    )
+
+
 def quality_features(docs: DataFrame) -> DataFrame:
     """Per-doc feature vector for the trained quality tier: length,
     word-shape, stopword, punctuation, and repetition signals — all pure

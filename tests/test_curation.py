@@ -445,3 +445,47 @@ def test_curation_ops_parallelism_invariant(spark, docs):
         one = sorted(tuple(r) for r in op(docs.repartition(1)).collect())
         many = sorted(tuple(r) for r in op(docs.repartition(13)).collect())
         assert one == many, f"{op} diverges across parallelism"
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Concat-and-chunk correctness: within every shard, docs laid out in
+    (ordkey, doc_id) order tile the packs exactly — each doc's offset is
+    the running token total mod context_len, packs advance by floor
+    division, and crosses_boundary is set iff the doc straddles a cut."""
+    ctx = 256
+    out = textops.pack_sequences(docs, context_len=ctx, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    total = 0
+    for shard, rows in by_shard.items():
+        # reconstruct the running sum from the reported fields: a doc at
+        # (pack_id, offset) starts at absolute token pack_id*ctx + offset
+        starts = sorted(r["pack_id"] * ctx + r["offset_in_pack"] for r in rows)
+        tokens = {r["pack_id"] * ctx + r["offset_in_pack"]: r["n_tokens"] for r in rows}
+        acc = 0
+        for s in starts:
+            assert s == acc, f"shard {shard}: gap/overlap at {s} != {acc}"
+            acc += tokens[s]
+        total += acc
+        for r in rows:
+            start = r["pack_id"] * ctx + r["offset_in_pack"]
+            crosses = r["n_tokens"] > 0 and (start + r["n_tokens"] - 1) // ctx > r["pack_id"]
+            assert r["crosses_boundary"] == crosses
+    # conservation: every token of every doc is packed exactly once
+    n_tokens_all = docs.select(
+        F.sum(F.size(textops.words_col())).alias("s")
+    ).collect()[0]["s"]
+    assert total == n_tokens_all
+
+
+def test_pack_sequences_parallelism_and_shardcount(spark, docs):
+    a = sorted(tuple(r) for r in textops.pack_sequences(docs.repartition(1)).collect())
+    b = sorted(tuple(r) for r in textops.pack_sequences(docs.repartition(13)).collect())
+    assert a == b
+    # laziness: construction must not trigger a job
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    textops.pack_sequences(docs, context_len=128, n_shards=16)
+    assert len(tracker.getJobIdsForGroup(None)) == before

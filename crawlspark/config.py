@@ -78,6 +78,18 @@ class CrawlConfig:
     # (oracle/simulator.py) and the filtered count lands in lineage as
     # stage='url_filtered' plus the round_info counter.
     url_quality_filter: bool = False
+    # opt-in host-priority boosts — the consumption side of the link-graph
+    # signals (e.g. quantized offline PageRank from linkgraph.host_pagerank,
+    # see linkgraph.pagerank_boosts): tuples of (host, boost), LOWER boost
+    # schedules first (same ascending discipline as priority). Applied at
+    # EMISSION only: the global capacity cap and the crawl-order sequence
+    # sort by (boost, host_hash, rank, url), so under a round capacity the
+    # important hosts win the budget and lead the fetch order. Within-host
+    # order is provably untouched (a host-constant addend cannot reorder
+    # URLs of the same host), and frontier/seen state never stores the
+    # boost — flipping the flag mid-crawl is safe on resume. OFF (None)
+    # keeps the crawl bit-equal to the boost-free oracle.
+    host_boosts: tuple[tuple[str, int], ...] | None = None
     # adaptive politeness (heroshi-style backoff from observed server
     # behavior): a host whose fetched docs this round are >=50% errors gets
     # its delay multiplier doubled (budget shrinks, deferral stretches); an
@@ -158,6 +170,16 @@ class CrawlConfig:
             )
         if self.frontier_delta_min_rows < 0:
             raise ValueError("frontier_delta_min_rows must be >= 0")
+        if self.host_boosts is not None:
+            for pair in self.host_boosts:
+                if (
+                    len(pair) != 2
+                    or not isinstance(pair[0], str)
+                    or not isinstance(pair[1], int)
+                ):
+                    raise ValueError(
+                        "host_boosts must be ((host: str, boost: int), ...)"
+                    )
 
 
 DEFAULT = CrawlConfig()

@@ -137,6 +137,28 @@ def host_pagerank(
     return rank.select("host", F.round("pr", 6).alias("pr"))
 
 
+def pagerank_boosts(
+    ranks: DataFrame, n_tiers: int = 4
+) -> tuple[tuple[str, int], ...]:
+    """Quantize (host, pr) into the ``CrawlConfig.host_boosts`` shape: hosts
+    are split into ``n_tiers`` ntiles by descending rank (ties broken by
+    host — total order, deterministic), and tier t gets boost t−n_tiers
+    (best tier most negative, worst tier 0 = same as unlisted hosts, so
+    absent/new hosts schedule with the lowest-signal tier rather than
+    jumping the queue).
+
+    Driver-side by design: the config tuple is the policy hand-off for
+    host sets that fit the driver (≲10^6). At the 10^10-URL design point
+    skip this helper and keep the boost table relational — persist
+    ``host_pagerank``'s output and broadcast-join it where
+    ``rank.attach_boosts`` builds its frame (same join, stored source)."""
+    w = Window.orderBy(F.col("pr").desc(), F.col("host").asc())
+    tiers = ranks.select("host", F.ntile(n_tiers).over(w).alias("tier"))
+    return tuple(
+        (r["host"], int(r["tier"]) - n_tiers) for r in tiers.collect()
+    )
+
+
 def anchor_stats(docs: DataFrame) -> DataFrame:
     """Per target host: inlink totals and the modal anchor text.
 

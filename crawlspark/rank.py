@@ -189,16 +189,44 @@ def select_batch(
 EMIT_ORDER = ("host_hash", "rank", "url")
 
 
+def attach_boosts(selected: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Opt-in host-priority boosts (config.host_boosts — e.g. quantized
+    offline PageRank): attach a transient `boost` column via one broadcast
+    join keyed on host_hash (the selected batch dropped `host` for shuffle
+    hygiene; xxh64.hash_str ≡ Spark xxhash64 maps the config's host names
+    driver-side). Unlisted hosts get boost 0. No-op (no column, identical
+    plan) when the feature is off, so the default crawl stays bit-equal."""
+    if not cfg.host_boosts:
+        return selected
+    from .xxh64 import hash_str
+
+    spark = selected.sparkSession
+    rows = [(hash_str(h), int(b)) for h, b in cfg.host_boosts]
+    bdf = spark.createDataFrame(rows, "host_hash long, boost int")
+    return selected.join(F.broadcast(bdf), "host_hash", "left").withColumn(
+        "boost", F.coalesce(F.col("boost"), F.lit(0)).cast("int")
+    )
+
+
+def _emit_order(df: DataFrame):
+    """Emission sort key: (boost?, host_hash, rank, url) — the transient
+    boost column leads when host boosts are attached; the tail key is
+    total (url unique), so the order is deterministic either way."""
+    cols = (("boost",) if "boost" in df.columns else ()) + EMIT_ORDER
+    return [F.col(c) for c in cols]
+
+
 def cap_round(selected: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """O3: global per-round capacity K in deterministic emission order.
 
     orderBy+limit executes as TakeOrderedAndProject — no full sort
-    materialization; the key (host_hash, rank, url) is total (url unique).
-    A None capacity disables the cap (and its extra stage) entirely.
+    materialization; the key (boost?, host_hash, rank, url) is total (url
+    unique). A None capacity disables the cap (and its extra stage)
+    entirely.
     """
     if cfg.round_capacity is None:
         return selected
-    return selected.orderBy(*EMIT_ORDER).limit(cfg.round_capacity)
+    return selected.orderBy(*_emit_order(selected)).limit(cfg.round_capacity)
 
 
 def with_seq(capped: DataFrame, scalable: bool | None = None) -> DataFrame:
@@ -217,8 +245,9 @@ def with_seq(capped: DataFrame, scalable: bool | None = None) -> DataFrame:
     """
     if scalable is None:
         scalable = False
+    order = _emit_order(capped)
     if not scalable:
-        w = Window.orderBy(*EMIT_ORDER)
+        w = Window.orderBy(*order)
         return capped.withColumn("seq", (F.row_number().over(w) - 1).cast("long"))
 
     from pyspark.storagelevel import StorageLevel
@@ -226,9 +255,9 @@ def with_seq(capped: DataFrame, scalable: bool | None = None) -> DataFrame:
     part = (
         capped.repartitionByRange(
             max(capped.sparkSession.sparkContext.defaultParallelism, 2),
-            *[F.col(c) for c in EMIT_ORDER],
+            *order,
         )
-        .sortWithinPartitions(*EMIT_ORDER)
+        .sortWithinPartitions(*order)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )  # persisted so partition ids are identical in the sizes job and the
     # assign job; caller unpersists via the _cs_cached attribute

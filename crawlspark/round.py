@@ -567,10 +567,19 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         eligible = rank.apply_adaptive(eligible, prev_host_state, cfg)
 
     # --- schedule (W1/W2 salted two-phase + O3 cap + S10 order) ------------
-    selected = rank.select_batch(eligible, st.robots_df, cfg)
-    ordered = rank.with_seq(
+    # attach_boosts: opt-in host-priority boosts (config.host_boosts) lead
+    # the emission sort so boosted hosts win the capacity cap; the
+    # transient column is dropped before anything persists.
+    selected = rank.attach_boosts(rank.select_batch(eligible, st.robots_df, cfg), cfg)
+    seq_df = rank.with_seq(
         rank.cap_round(selected, cfg), scalable=cfg.round_capacity is None
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ordered = seq_df.drop("boost").persist(StorageLevel.MEMORY_AND_DISK)
+    # with_seq's scalable path hangs its persisted inner frame on the
+    # result; re-attach it across the drop so the round-end unpersist
+    # (see _cs_cached below) still releases it.
+    if hasattr(seq_df, "_cs_cached"):
+        ordered._cs_cached = seq_df._cs_cached
     obs_sel = Observation()
     store.write(
         ordered.observe(obs_sel, F.count(F.lit(1)).alias("n")).select(

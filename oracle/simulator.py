@@ -131,8 +131,13 @@ def simulate(
                 b = max(1, b // mult.get(hh, 1))
             for i, e in enumerate(entries[:b]):
                 selected.append((e, i + 1))
-        # global cap K in emission order (host_hash, rank, url)  [SPEC §4]
-        selected.sort(key=lambda t: (t[0].host_hash, t[1], t[0].url))
+        # global cap K in emission order (boost?, host_hash, rank, url)
+        # [SPEC §4]; boost = opt-in host-priority table (config.host_boosts,
+        # lower first, unlisted hosts 0) — mirrors rank.attach_boosts
+        boosts = dict(cfg.host_boosts or ())
+        selected.sort(
+            key=lambda t: (boosts.get(t[0].host, 0), t[0].host_hash, t[1], t[0].url)
+        )
         selected = selected[: cfg.round_capacity]
         for seq, (e, _rank) in enumerate(selected):
             res.crawl_order.append((r, seq, e.url))

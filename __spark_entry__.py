@@ -900,6 +900,26 @@ def _q_anchor_stats(spark, sf_dir):
     return linkgraph.anchor_stats(_docs_with_urls(spark, sf_dir))
 
 
+def _q_sitemap_extract(spark, sf_dir):
+    """Sitemap ingestion (sitemaps.parse_sitemaps): per-host sitemap XML →
+    one row per <url> entry with loc / lastmod / changefreq / priority;
+    malformed (loc-less) entries dropped, protocol defaults applied."""
+    from crawlspark import sitemaps
+
+    return sitemaps.parse_sitemaps(_read(spark, sf_dir, "sitemaps.parquet"))
+
+
+def _q_recrawl_priority(spark, sf_dir):
+    """Freshness-driven recrawl scheduling (sitemaps.recrawl_priority):
+    Cho–Garcia-Molina-style capped age/interval score over the parsed
+    sitemap entries, at a fixed 'now' (determinism rule: callers stamp
+    time, operators never read the clock)."""
+    from crawlspark import sitemaps
+
+    parsed = sitemaps.parse_sitemaps(_read(spark, sf_dir, "sitemaps.parquet"))
+    return sitemaps.recrawl_priority(parsed, now_day="2026-08-01")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_extract": _q_link_extract,
@@ -962,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "anchor_stats": _q_anchor_stats,
         "pack_sequences": _q_pack_sequences,
+        "sitemap_extract": _q_sitemap_extract,
+        "recrawl_priority": _q_recrawl_priority,
     }
 
 
@@ -1656,6 +1678,64 @@ def _textops_oracle_sql() -> dict[str, str]:
 _HOST_RE_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)"
 
 
+def _sitemap_oracle_sql() -> dict[str, str]:
+    """DuckDB twins of the sitemaps family. The parse CTE mirrors
+    sitemaps.parse_sitemaps regex-for-regex (RE2 and Java regex agree on
+    ``(?s)`` + non-greedy groups); the recrawl score unrolls the exact
+    CHANGEFREQ_DAYS / AGE_RATIO_CAP arithmetic."""
+    smp = _fx_path("sitemaps.parquet")
+    parse = f"""
+        WITH e AS (
+          SELECT host, generate_subscripts(es,1) - 1 AS entry_pos, unnest(es) AS entry
+          FROM (SELECT host,
+                       regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS es
+                FROM read_parquet('{smp}'))
+        ),
+        p AS (
+          SELECT host, CAST(entry_pos AS INTEGER) AS entry_pos,
+                 regexp_extract(entry, '<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+                 regexp_extract(entry, '<lastmod>\\s*(\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) AS lm,
+                 regexp_extract(entry, '<changefreq>\\s*(.*?)\\s*</changefreq>', 1) AS cf,
+                 regexp_extract(entry, '<priority>\\s*(.*?)\\s*</priority>', 1) AS pr
+          FROM e
+        ),
+        parsed AS (
+          SELECT host, entry_pos, loc,
+                 CASE WHEN lm <> '' THEN lm END AS lastmod_day,
+                 CASE WHEN cf <> '' THEN cf END AS changefreq,
+                 COALESCE(CASE WHEN pr <> '' THEN TRY_CAST(pr AS DOUBLE) END, 0.5)
+                   AS priority
+          FROM p WHERE loc <> ''
+        )"""
+    score = """
+        scored AS (
+          SELECT *,
+                 CASE changefreq
+                   WHEN 'always' THEN 0.5 WHEN 'hourly' THEN 0.5
+                   WHEN 'daily' THEN 1.0 WHEN 'weekly' THEN 7.0
+                   WHEN 'monthly' THEN 30.0 WHEN 'yearly' THEN 365.0
+                   ELSE 7.0 END AS itvl,
+                 CAST(date_diff('day', CAST(lastmod_day AS DATE), DATE '2026-08-01')
+                      AS DOUBLE) AS age
+          FROM parsed
+        )"""
+    return {
+        "sitemap_extract": parse + """
+            SELECT host, entry_pos, loc, lastmod_day, changefreq, priority
+            FROM parsed
+            """,
+        "recrawl_priority": parse + "," + score + """
+            SELECT host, entry_pos, loc, lastmod_day, changefreq, priority,
+                   ROUND(CASE WHEN changefreq = 'never' THEN 0.0
+                         ELSE priority *
+                              CASE WHEN lastmod_day IS NULL THEN 8.0
+                                   ELSE LEAST(GREATEST(age, 0.0) / itvl, 8.0) END
+                         END, 6) AS recrawl_score
+            FROM scored
+            """,
+    }
+
+
 def _linkgraph_prefix(dsp: str, dur: str) -> str:
     """Shared CTE chain: span docs ⋈ doc_urls → link rows → resolved
     (src_host, dst_host, anchor) → weighted edge aggregate."""
@@ -1760,6 +1840,7 @@ def oracle_sql() -> dict[str, str]:
     r = FIXTURE_ROUND
     out = _textops_oracle_sql()
     out.update(_linkgraph_oracle_sql())
+    out.update(_sitemap_oracle_sql())
     out.update({
         "url_quality": f"""
             WITH f AS (SELECT url, url_hash FROM read_parquet('{fro}')),

@@ -89,6 +89,49 @@ def doc_url_rows(n_docs: int, spec: FetchSpec) -> list[tuple[str, str]]:
     return [_doc_url(i, spec) for i in range(n_docs)]
 
 
+def sitemap_rows(n_docs: int, spec: FetchSpec) -> list[tuple[str, str]]:
+    """(host, xml) — one sitemap document per fixture host listing that
+    host's fixture docs (same ``_doc_url`` universe as doc_urls, so the
+    sitemap intake path and the link-extraction path discover overlapping
+    URL sets, like a real crawl). Field mix is index-derived and exercises
+    every parse path: lastmod omitted when i%11==0, changefreq omitted
+    when i%13==0 else cycling all 7 protocol values, priority omitted when
+    i%7==0 (→ protocol default 0.5); every 5th host gets one malformed
+    ``<url>`` entry with no ``<loc>`` (must be dropped); whitespace and
+    newlines vary so the non-greedy ``(?s)`` parse is actually load-bearing."""
+    import datetime
+
+    base = datetime.date(2025, 10, 1)
+    freqs = ["daily", "weekly", "monthly", "hourly", "yearly", "always", "never"]
+    per_host: dict[str, list[str]] = {}
+    for i in range(n_docs):
+        _, url = _doc_url(i, spec)
+        host = url.split("/")[2]
+        parts = [f"\n  <url>\n    <loc> {url} </loc>"]
+        if i % 11 != 0:
+            d = base + datetime.timedelta(days=(i * 7) % 240)
+            parts.append(f"\n    <lastmod>{d.isoformat()}</lastmod>")
+        if i % 13 != 0:
+            parts.append(f"\n    <changefreq>{freqs[i % 7]}</changefreq>")
+        if i % 7 != 0:
+            parts.append(f"\n    <priority>{(i % 10) / 10:.1f}</priority>")
+        parts.append("\n  </url>")
+        per_host.setdefault(host, []).append("".join(parts))
+    rows = []
+    for k, host in enumerate(sorted(per_host)):
+        entries = per_host[host]
+        if k % 5 == 0:
+            entries = entries + ["\n  <url>\n    <lastmod>2026-01-01</lastmod>\n  </url>"]
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(entries)
+            + "\n</urlset>\n"
+        )
+        rows.append((host, xml))
+    return rows
+
+
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
 
 
@@ -115,6 +158,7 @@ def materialize_fixtures(spark, sf_name: str, n_docs: int | None = None) -> str:
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         _materialize_doc_urls(spark, sf_name, out, n_docs)
+        _materialize_sitemaps(sf_name, out, n_docs)
         return out
     os.makedirs(out, exist_ok=True)
     spec = spec_for_sf(sf_name)
@@ -198,6 +242,7 @@ def materialize_fixtures(spark, sf_name: str, n_docs: int | None = None) -> str:
     with open(done, "w") as f:
         f.write("ok\n")
     _materialize_doc_urls(spark, sf_name, out, n_docs)
+    _materialize_sitemaps(sf_name, out, n_docs)
     return out
 
 
@@ -234,12 +279,37 @@ def _materialize_doc_urls(spark, sf_name: str, out: str, n_docs: int | None) -> 
         f.write("ok\n")
 
 
+def _materialize_sitemaps(sf_name: str, out: str, n_docs: int | None) -> None:
+    """Additive marker-gated upgrade (same pattern as ``_materialize_doc_urls``):
+    writes ``sitemaps.parquet`` once per fixture dir, pyarrow-direct (tiny,
+    driver-side, no SparkSession needed) so both Spark and the DuckDB
+    oracle read the identical bytes."""
+    marker = os.path.join(out, "_DONE_SITEMAPS")
+    if os.path.exists(marker):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = spec_for_sf(sf_name)
+    rows = sitemap_rows(n_docs or _default_n_docs(sf_name), spec)
+    tdir = os.path.join(out, "sitemaps.parquet")
+    os.makedirs(tdir, exist_ok=True)
+    table = pa.table(
+        {"host": [r[0] for r in rows], "xml": [r[1] for r in rows]},
+        schema=pa.schema([("host", pa.string()), ("xml", pa.string())]),
+    )
+    pq.write_table(table, os.path.join(tdir, "part-0.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
 def materialize_doc_url_fixtures(sf_name: str) -> str:
-    """Spark-free entry point (oracle side): ensure doc_urls.parquet exists
-    for an already-materialized fixture dir."""
+    """Spark-free entry point (oracle side): ensure the additive side
+    tables (doc_urls, sitemaps) exist for an already-materialized dir."""
     out = fixture_dir(sf_name)
     if os.path.isdir(out):
         _materialize_doc_urls(None, sf_name, out, None)
+        _materialize_sitemaps(sf_name, out, None)
     return out
 
 

@@ -1,0 +1,138 @@
+"""Sitemap ingestion + freshness-driven recrawl scheduling.
+
+A production crawler discovers URLs from two places: extracted links
+(linkgraph.py / parse.py) and the hosts' own sitemaps. This module adds
+the sitemap side of the intake path plus the recrawl scheduler those
+sitemap freshness hints feed (Cho & Garcia-Molina, "Effective Page
+Refresh Policies for Web Crawlers", TODS 2003 — the classic
+age/change-frequency formulation, simplified to the uniform-allocation
+policy that is expressible as one scan).
+
+Everything is pure JVM (built-in functions, no Python UDFs) and
+oracle-mirrored in DuckDB SQL (__spark_entry__.py):
+
+- ``parse_sitemaps``: (host, xml) rows → one ``<url>`` entry per output
+  row with loc / lastmod day / changefreq / priority extracted by
+  non-greedy regex (both Java regex and DuckDB's RE2 support ``(.*?)``).
+  Scale shape: regexp_extract_all + posexplode is a linear per-row scan —
+  the per-host sitemap payload is bounded (50k URLs per sitemap file by
+  the protocol's own limit), so no row explodes beyond that bound; no
+  shuffle at all. Malformed entries (no <loc>) are dropped; missing
+  optional fields default per the sitemaps.org protocol (changefreq
+  'weekly'-equivalent handling is left to the scheduler; priority 0.5).
+- ``recrawl_priority``: for each known URL with (last_crawl_day,
+  changefreq, priority) compute a deterministic recrawl score
+      score = priority * min(age_days / interval_days, 8.0)
+  where interval_days maps changefreq (always=0.5, hourly=1/24 → floored
+  to 0.5, daily=1, weekly=7, monthly=30, yearly=365, never=+inf → score
+  0) and the ratio is capped so long-dead pages cannot starve everything
+  else (the cap is the uniform-allocation clamp from the paper's
+  conclusion that proportional-to-change-rate over-allocates to churners).
+  Pure per-row arithmetic — no shuffle; the optional per-host top-k uses
+  the repo's standard two-phase salted window only when asked.
+
+The crawl loop consumes ``parse_sitemaps`` output as an extra seed
+source (opt-in, like cfg.host_boosts): sitemap locs are canonicalized and
+anti-joined against seen exactly like extracted links, so the equality
+guarantees (ordering, seen-set) are untouched when the flag is off.
+
+Float discipline: scores round(·, 6) at the OUTPUT only, matching the
+repo-wide cross-engine convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Protocol changefreq → recrawl interval in days. 'never' maps to NULL
+# (score 0 downstream). Floor at 0.5 day: this scheduler runs in rounds,
+# sub-round intervals are indistinguishable, and 'always'/'hourly'
+# collapsing to the same bucket is the documented uniform-allocation
+# clamp (module docstring).
+CHANGEFREQ_DAYS: dict[str, float] = {
+    "always": 0.5,
+    "hourly": 0.5,
+    "daily": 1.0,
+    "weekly": 7.0,
+    "monthly": 30.0,
+    "yearly": 365.0,
+}
+
+# Cap on age/interval so dead-and-gone pages cannot monopolize the
+# recrawl budget (uniform-allocation clamp).
+AGE_RATIO_CAP = 8.0
+
+
+def parse_sitemaps(sm: DataFrame, host_col: str = "host", xml_col: str = "xml") -> DataFrame:
+    """(host, xml) → (host, loc, lastmod_day, changefreq, priority).
+
+    One <url> entry per row; entries without a <loc> are dropped.
+    lastmod_day is the protocol's YYYY-MM-DD prefix as a date (NULL when
+    absent/malformed), priority defaults to 0.5 per sitemaps.org.
+
+    Plan shape: regexp_extract_all → posexplode → 4 regexp_extract — a
+    single narrow scan stage, whole-stage codegen end to end, no shuffle.
+    """
+    entries = sm.select(
+        F.col(host_col).alias("host"),
+        F.posexplode_outer(
+            F.regexp_extract_all(F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1)
+        ).alias("entry_pos", "entry"),
+    )
+    loc = F.regexp_extract("entry", r"<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract("entry", r"<lastmod>\s*(\d{4}-\d{2}-\d{2})", 1)
+    changefreq = F.regexp_extract("entry", r"<changefreq>\s*(.*?)\s*</changefreq>", 1)
+    priority = F.regexp_extract("entry", r"<priority>\s*(.*?)\s*</priority>", 1)
+    return (
+        entries.where(F.col("entry").isNotNull())
+        .select(
+            "host",
+            F.col("entry_pos").cast("int").alias("entry_pos"),
+            loc.alias("loc"),
+            # kept as the protocol's 'YYYY-MM-DD' TEXT (cross-engine value
+            # convention: no DATE-typed outputs; consumers to_date() it)
+            F.when(lastmod != "", lastmod).alias("lastmod_day"),
+            F.when(changefreq != "", changefreq).alias("changefreq"),
+            F.coalesce(
+                F.when(priority != "", priority.cast("double")), F.lit(0.5)
+            ).alias("priority"),
+        )
+        .where(F.col("loc") != "")
+    )
+
+
+def recrawl_priority(
+    pages: DataFrame,
+    now_day: str,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod_day",
+    changefreq_col: str = "changefreq",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic freshness score per page (module docstring formula).
+
+    ``now_day`` is an explicit 'YYYY-MM-DD' constant — determinism rule:
+    no wall-clock reads inside operators; callers stamp time.
+
+    NULL lastmod ⇒ never crawled/no hint ⇒ treated as maximally stale
+    (age ratio at the cap). changefreq 'never' ⇒ score 0. Unknown/missing
+    changefreq defaults to weekly (the protocol calls the field a hint).
+    Pure per-row arithmetic: no shuffle, fully pushdown-friendly.
+    """
+    interval = F.coalesce(
+        *[
+            F.when(F.col(changefreq_col) == k, F.lit(v))
+            for k, v in CHANGEFREQ_DAYS.items()
+        ],
+        F.lit(CHANGEFREQ_DAYS["weekly"]),
+    )
+    age = F.datediff(
+        F.to_date(F.lit(now_day)), F.to_date(F.col(lastmod_col))
+    ).cast("double")
+    ratio = F.when(F.col(lastmod_col).isNull(), F.lit(AGE_RATIO_CAP)).otherwise(
+        F.least(F.greatest(age, F.lit(0.0)) / interval, F.lit(AGE_RATIO_CAP))
+    )
+    score = F.when(F.col(changefreq_col) == "never", F.lit(0.0)).otherwise(
+        F.col(priority_col) * ratio
+    )
+    return pages.withColumn("recrawl_score", F.round(score, 6))

@@ -554,6 +554,14 @@ def _q_decontaminate(spark, sf_dir):
     return textops.decontaminate(train, bench)
 
 
+def _q_dup_ngram_coverage(spark, sf_dir):
+    """Per-doc duplicated-5-gram coverage (textops.dup_ngram_coverage):
+    the Lee et al. substring-duplication signal in word-n-gram form."""
+    from crawlspark import textops
+
+    return textops.dup_ngram_coverage(_tpch(spark, sf_dir, "documents"), n=5)
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style repetitiousness signals: per-doc duplicated-2-gram
     fraction (pure codegen, no shuffle) + most-common-word share (two
@@ -955,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "decontaminate": _q_decontaminate,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
         "repetition_stats": _q_repetition_stats,
         "hash_sample": _q_hash_sample,
         "token_stats": _q_token_stats,
@@ -1288,6 +1297,21 @@ def _textops_oracle_sql() -> dict[str, str]:
             t AS (SELECT doc_id, h FROM hh WHERE doc_id % 89 <> 0)
             SELECT t.doc_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_hit_shingles
             FROM t JOIN b USING (h) GROUP BY t.doc_id
+            """,
+        "dup_ngram_coverage": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            s AS (SELECT doc_id, {_sh_sql(5)} AS sh FROM w),
+            e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+            hh AS (SELECT doc_id, md5(g) AS h FROM e),
+            pd AS (SELECT doc_id, h, COUNT(*) AS c FROM hh GROUP BY doc_id, h),
+            t AS (SELECT h, SUM(c) AS tot FROM pd GROUP BY h)
+            SELECT pd.doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(SUM(CASE WHEN tot >= 2 THEN c END), 0) AS BIGINT)
+                     AS n_dup_grams,
+                   ROUND(CAST(COALESCE(SUM(CASE WHEN tot >= 2 THEN c END), 0) AS DOUBLE)
+                         / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac
+            FROM pd JOIN t USING (h) GROUP BY pd.doc_id
             """,
         "hash_sample": """
             SELECT doc_id, source FROM (

@@ -458,6 +458,43 @@ def decontaminate(docs: DataFrame, bench: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def dup_ngram_coverage(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Duplicated-n-gram coverage — the per-document substring-duplication
+    signal from "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., ACL 2022), in its scalable word-n-gram form: for every
+    doc, the fraction of its n-gram INSTANCES whose exact n-gram occurs at
+    least twice corpus-wide. Totals count multiplicity, so a doc repeating
+    its own n-gram is duplication too (the paper's ExactSubstr would also
+    cut self-repeats).
+
+    Scale shape (3 shuffles, all keyed and map-side-combinable — the
+    canonical distributed form of this op):
+      1. explode → groupBy(doc_id, h): per-doc gram multiplicities
+         (in-doc repeats collapse before the wire);
+      2. groupBy(h): corpus totals over the already-collapsed rows
+         (≤ one row per (doc, distinct gram));
+      3. join the gram-cardinality totals back on h (joined, never
+         collected or broadcast — corpus-derived) + groupBy(doc_id).
+    Docs shorter than n words have no n-grams and are absent from the
+    output (0/0 is undefined, not 0). md5 is the gram key (repo base-hash
+    convention; the DuckDB twin hashes identically)."""
+    grams = docs.select(
+        "doc_id", F.explode(shingles_col(words_col(), n=n)).alias("g")
+    ).select("doc_id", F.md5("g").alias("h"))
+    per_doc = grams.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    totals = per_doc.groupBy("h").agg(F.sum("c").alias("tot"))
+    dup = F.coalesce(F.sum(F.when(F.col("tot") >= 2, F.col("c"))), F.lit(0))
+    return (
+        per_doc.join(totals, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            dup.cast("bigint").alias("n_dup_grams"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup_grams") / F.col("n_grams"), 6))
+    )
+
+
 def hash_sample(docs: DataFrame, cutoffs: dict[str, int], default: int = 0,
                 salt: str = "smp") -> DataFrame:
     """Deterministic per-source stratified sampling — the mix-weighting

@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--ckpt", required=True)
         if name == "init":
             p.add_argument("--seeds", required=True)
+            p.add_argument(
+                "--sitemaps", default=None,
+                help="optional (host, xml) sitemap parquet; parsed <loc> "
+                "entries join the seed set at quantized sitemap priority",
+            )
         if name in ("run", "resume"):
             p.add_argument("--rounds", type=int, required=True)
         p.add_argument("--hosts", type=int, default=50)
@@ -67,7 +72,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "init":
         seeds_df = spark.read.text(args.seeds).withColumnRenamed("value", "url")
-        st = rnd.init_crawl(spark, seeds_df, cfg, spec, ckpt=args.ckpt)
+        sitemaps_df = (
+            spark.read.parquet(args.sitemaps) if getattr(args, "sitemaps", None) else None
+        )
+        st = rnd.init_crawl(
+            spark, seeds_df, cfg, spec, ckpt=args.ckpt, sitemaps_df=sitemaps_df
+        )
         print(json.dumps({"initialized": True, "next_round": st.next_round}))
         return 0
     if args.cmd == "run":

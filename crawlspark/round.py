@@ -191,8 +191,17 @@ def init_crawl(
     spec: FetchSpec = DEFAULT_SPEC,
     ckpt: str = "/tmp/crawlspark-ckpt",
     robots_hosts: list[str] | None = None,
+    sitemaps_df: DataFrame | None = None,
 ) -> CrawlState:
-    """Round-0 state: canonicalized+filtered seeds become frontier and seen."""
+    """Round-0 state: canonicalized+filtered seeds become frontier and seen.
+
+    ``sitemaps_df`` (opt-in, same discipline as cfg.host_boosts): a
+    (host, xml) sitemap table whose parsed <loc> entries join the seed
+    set with sitemap-priority-derived crawl priority (sitemaps.
+    sitemap_seed_candidates); they then ride the identical canonicalize →
+    robots → A2-dedup path as explicit seeds, so ordering/seen equality
+    vs the oracle holds with the feature on, and omitting it keeps the
+    crawl bit-equal to the sitemap-free oracle."""
     cfg.validate()
     store = SnapshotStore(spark, ckpt)
     _hosts = robots_hosts or _default_hosts(spec)
@@ -201,6 +210,10 @@ def init_crawl(
     seeds = seeds_df.select("url").withColumn("priority", F.lit(0)).withColumn(
         "crawl_depth", F.lit(0)
     )
+    if sitemaps_df is not None:
+        from . import sitemaps as _sitemaps
+
+        seeds = seeds.unionByName(_sitemaps.sitemap_seed_candidates(sitemaps_df))
     prepped = ingest.prepare_urls(seeds, cfg, robots_df)
     deduped = rank.attach_host_budget(
         ingest.dedup_candidates(prepped), robots_df, cfg

@@ -101,6 +101,72 @@ def parse_sitemaps(sm: DataFrame, host_col: str = "host", xml_col: str = "xml") 
     )
 
 
+def sitemap_seed_candidates(sm: DataFrame) -> DataFrame:
+    """(host, xml) sitemap table → extra seed rows (url, priority,
+    crawl_depth) for ``round.init_crawl(..., sitemaps_df=...)``.
+
+    Sitemap priority p ∈ [0,1] (1 = most important) quantizes onto the
+    crawl's ascending priority scale as ``floor((1-p)*10 + 0.5)`` ∈ 0..10
+    — explicit-midpoint flooring, NOT round(): Python's round() is
+    banker's and Spark's is HALF_UP, so the floor form is the one
+    quantizer that is bit-identical on IEEE doubles in both the engine
+    and the pure-Python oracle. Explicit seeds keep priority 0, so a URL
+    listed both ways resolves to the seed's priority via the A2
+    min-dedup — in both engines. crawl_depth 0: sitemap locs are roots of
+    discovery, like seeds."""
+    parsed = parse_sitemaps(sm)
+    return parsed.select(
+        F.col("loc").alias("url"),
+        F.floor((F.lit(1.0) - F.col("priority")) * F.lit(10.0) + F.lit(0.5))
+        .cast("int")
+        .alias("priority"),
+        F.lit(0).alias("crawl_depth"),
+    )
+
+
+def parse_entries_py(xml: str) -> list[tuple[str, str | None, str | None, float]]:
+    """Pure-Python twin of ``parse_sitemaps`` for the crawl oracle:
+    (loc, lastmod_day, changefreq, priority) per well-formed entry, same
+    regexes verbatim (Java regex, RE2 and Python ``re`` agree on ``(?s)``
+    + non-greedy groups over this grammar). Shared with oracle/simulator
+    as an environment definition — the RELATIONAL parse is independently
+    verified against DuckDB by the sitemap_extract driver query, so
+    sharing the Python form does not test an operator against itself."""
+    import re
+
+    out = []
+    for m in re.finditer(r"(?s)<url>(.*?)</url>", xml):
+        entry = m.group(1)
+        loc_m = re.search(r"<loc>\s*(.*?)\s*</loc>", entry)
+        if not loc_m or loc_m.group(1) == "":
+            continue
+        lm = re.search(r"<lastmod>\s*(\d{4}-\d{2}-\d{2})", entry)
+        cf = re.search(r"<changefreq>\s*(.*?)\s*</changefreq>", entry)
+        pr = re.search(r"<priority>\s*(.*?)\s*</priority>", entry)
+        priority = 0.5
+        if pr and pr.group(1) != "":
+            try:
+                priority = float(pr.group(1))
+            except ValueError:  # TRY_CAST semantics
+                priority = 0.5
+        out.append(
+            (
+                loc_m.group(1),
+                lm.group(1) if lm else None,
+                cf.group(1) if cf and cf.group(1) != "" else None,
+                priority,
+            )
+        )
+    return out
+
+
+def seed_priority_py(sitemap_priority: float) -> int:
+    """Pure-Python twin of the ``sitemap_seed_candidates`` quantizer."""
+    import math
+
+    return int(math.floor((1.0 - sitemap_priority) * 10.0 + 0.5))
+
+
 def recrawl_priority(
     pages: DataFrame,
     now_day: str,

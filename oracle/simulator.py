@@ -83,6 +83,7 @@ def simulate(
     cfg: CrawlConfig = CrawlConfig(),
     spec: fs.FetchSpec = fs.DEFAULT_SPEC,
     max_rounds: int = 5,
+    sitemap_xml: list[tuple[str, str]] | None = None,
 ) -> OracleResult:
     res = OracleResult()
     frontier: dict[int, Entry] = {}
@@ -94,15 +95,27 @@ def simulate(
     mult: dict[int, int] = {}
 
     # --- init (SPEC.md Init) ------------------------------------------------
+    # seed intake: explicit seeds at priority 0, plus (opt-in) sitemap
+    # <loc> entries at their quantized sitemap priority — both through the
+    # IDENTICAL prep/robots/min-dedup, mirroring round.init_crawl's union.
+    # parse_entries_py/seed_priority_py are shared environment definitions
+    # (the relational parse is independently DuckDB-verified).
+    from crawlspark.sitemaps import parse_entries_py, seed_priority_py
+
+    seed_entries: list[tuple[str, int]] = [(raw, 0) for raw in seed_urls]
+    for _sm_host, xml in sitemap_xml or ():
+        for loc, _lm, _cf, pr in parse_entries_py(xml):
+            seed_entries.append((loc, seed_priority_py(pr)))
+
     cand: dict[int, Entry] = {}
-    for raw in seed_urls:
+    for raw, prio in seed_entries:
         p = _prep_url(raw, cfg)
         if p is None:
             continue
         url, uh, host, hh = p
         if not _robots_ok(url, host):
             continue
-        e = Entry(url, uh, host, hh, 0, 0, 0, 0)
+        e = Entry(url, uh, host, hh, prio, 0, 0, 0)
         old = cand.get(uh)
         if old is None or (e.priority, e.crawl_depth, e.url) < (
             old.priority,

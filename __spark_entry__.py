@@ -1302,8 +1302,10 @@ def _textops_oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
             s AS (SELECT doc_id, {_sh_sql(5)} AS sh FROM w),
             e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-            hh AS (SELECT doc_id, md5(g) AS h FROM e),
-            pd AS (SELECT doc_id, h, COUNT(*) AS c FROM hh GROUP BY doc_id, h),
+            -- groups by the RAW gram (the Spark side keys on an internal
+            -- xxhash64 of it; identical modulo 64-bit collisions, see
+            -- textops.dup_ngram_coverage docstring)
+            pd AS (SELECT doc_id, g AS h, COUNT(*) AS c FROM e GROUP BY doc_id, g),
             t AS (SELECT h, SUM(c) AS tot FROM pd GROUP BY h)
             SELECT pd.doc_id,
                    CAST(SUM(c) AS BIGINT) AS n_grams,

@@ -115,6 +115,13 @@ OPS = {{
     ),
     "embed_quantize": lambda: sink(simsearch.embed_quantize(emb)),
     "minhash_sig": lambda: sink(textops.minhash_signatures(docs)),
+    # n_shards FIXED (not cores-derived): shard assignment is part of the
+    # output, so the cross-parallelism digest check requires identical
+    # sharding at both levels
+    "pack_sequences": lambda: sink(
+        textops.pack_sequences(docs, context_len=2048, n_shards=64)
+    ),
+    "dup_ngram_coverage": lambda: sink(textops.dup_ngram_coverage(docs)),
 }}
 
 # warmup: compile every op's plan shape (including the digest sink) once
@@ -132,6 +139,8 @@ sink(textops.repetition_stats(small))
 sink(textops.hash_sample(small, {{"src0": 256}}, default=64))
 sink(simsearch.embed_quantize(warm_emb))
 sink(textops.minhash_signatures(small))
+sink(textops.pack_sequences(small, context_len=2048, n_shards=64))
+sink(textops.dup_ngram_coverage(small))
 small.unpersist()
 warm_emb.unpersist()
 

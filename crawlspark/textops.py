@@ -473,19 +473,37 @@ def dup_ngram_coverage(docs: DataFrame, n: int = 5) -> DataFrame:
          (in-doc repeats collapse before the wire);
       2. groupBy(h): corpus totals over the already-collapsed rows
          (≤ one row per (doc, distinct gram));
-      3. join the gram-cardinality totals back on h (joined, never
-         collected or broadcast — corpus-derived) + groupBy(doc_id).
+      3. join the gram-cardinality totals back on h (shuffle_hash-hinted:
+         totals are corpus-derived, so Catalyst's stats-blind estimate
+         may otherwise BROADCAST them — the executor-OOM class VERDICT r4
+         flagged in line_dedup/unigram_logprob; the hint also lets
+         ReuseExchange dedup the shared per-doc subtree, measured 1.79 s
+         vs 2.38 s broadcast at the 15k×2-core tier) + groupBy(doc_id).
     Docs shorter than n words have no n-grams and are absent from the
-    output (0/0 is undefined, not 0). md5 is the gram key (repo base-hash
-    convention; the DuckDB twin hashes identically)."""
-    grams = docs.select(
-        "doc_id", F.explode(shingles_col(words_col(), n=n)).alias("g")
-    ).select("doc_id", F.md5("g").alias("h"))
+    output (0/0 is undefined, not 0).
+
+    The gram key is INTERNAL (only counts leave the operator), so it uses
+    native xxhash64 — not the md5 cross-engine convention: JVM-vectorized
+    (~3× the hash throughput of md5 here, measured in bench/curation.py)
+    and an 8-byte long on the shuffle wire instead of a 32-char hex
+    string. The DuckDB twin groups by the raw gram string — identical
+    results modulo 64-bit collisions: ~2×10⁻⁷ expected at the 3M-gram
+    test tier, and at the 10^12-gram design point a few 10⁴ mislabeled
+    gram INSTANCES, noise for a duplication-fraction signal."""
+    # STAGED projections (the shingle_hash_col discipline): the words
+    # array materializes under its own alias first — inlined, Catalyst's
+    # project collapse re-evaluates the split/filter per element_at
+    # reference inside the shingle transform (measured 18.4 s → 1.1 s for
+    # the gram scan at 15k sf0.1 docs × 2 cores).
+    t1 = docs.select("doc_id", words_col().alias("ws"))
+    grams = t1.select(
+        "doc_id", F.explode(shingles_col(F.col("ws"), n=n)).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("h"))
     per_doc = grams.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
     totals = per_doc.groupBy("h").agg(F.sum("c").alias("tot"))
     dup = F.coalesce(F.sum(F.when(F.col("tot") >= 2, F.col("c"))), F.lit(0))
     return (
-        per_doc.join(totals, "h")
+        per_doc.join(totals.hint("shuffle_hash"), "h")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_grams"),

@@ -517,11 +517,16 @@ def test_dup_ngram_coverage_planted(spark):
 
 
 def test_dup_ngram_coverage_no_corpus_broadcast(spark, docs):
-    """The gram-totals side is corpus-derived: it must be JOINED (shuffle
-    or AQE's pick), never hinted broadcast (VERDICT r4 'What's wrong' #2/#3
-    class)."""
-    plan = (
-        textops.dup_ngram_coverage(docs, n=5)
-        ._jdf.queryExecution().optimizedPlan().toString()
-    )
-    assert "ResolvedHint" not in plan
+    """The gram-totals side is corpus-derived: it must arrive over a
+    SHUFFLE join (the shuffle_hash hint pins this), never a broadcast —
+    the executor-OOM class of VERDICT r4 'What's wrong' #2/#3. Also pins
+    the ReuseExchange dedup of the shared per-doc subtree (without it the
+    gram scan runs twice)."""
+    df = textops.dup_ngram_coverage(docs, n=5)
+    # collect() (NOT count(), which executes a different pruned plan) so
+    # AQE finalizes THIS df's plan — reuse only shows post-execution
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "ReusedExchange" in plan

@@ -928,6 +928,31 @@ def _q_recrawl_priority(spark, sf_dir):
     return sitemaps.recrawl_priority(parsed, now_day="2026-08-01")
 
 
+def _q_snapshot_change(spark, sf_dir):
+    """Observed per-host change rates between two crawl snapshots
+    (sitemaps.snapshot_change_stats) — the estimation half of the
+    Cho–Garcia-Molina refresh loop. Both snapshots derive
+    deterministically from the documents driver table: host = 'h'||
+    (doc_id%23); prev drops doc_id%7==0 ('added' later) and mutates text
+    on doc_id%5==0 ('changed'); curr drops doc_id%11==3 ('removed')."""
+    from crawlspark import sitemaps
+
+    docs = _tpch(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(23)).cast("string")).alias("host"),
+        "text",
+    )
+    prev = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0).select(
+        "doc_id",
+        "host",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.concat(F.col("text"), F.lit(" OLD"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    curr = docs.filter(F.pmod(F.col("doc_id"), F.lit(11)) != 3)
+    return sitemaps.snapshot_change_stats(prev, curr)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_extract": _q_link_extract,
@@ -993,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "sitemap_extract": _q_sitemap_extract,
         "recrawl_priority": _q_recrawl_priority,
+        "snapshot_change": _q_snapshot_change,
     }
 
 
@@ -1759,7 +1785,65 @@ def _sitemap_oracle_sql() -> dict[str, str]:
                          END, 6) AS recrawl_score
             FROM scored
             """,
+        "snapshot_change": _snapshot_change_oracle_sql(),
     }
+
+
+def _snapshot_change_oracle_sql() -> str:
+    """DuckDB twin of sitemaps.snapshot_change_stats over the same
+    documents-derived snapshot pair as _q_snapshot_change. The class CASE
+    is generated from sitemaps.CHANGE_RATE_CLASSES so both engines share
+    one threshold table; the comparison uses the ROUNDED rate on both
+    sides (Spark compares the round(·,6) column too)."""
+    from crawlspark.sitemaps import CHANGE_RATE_CLASSES
+
+    klass = " ".join(
+        f"WHEN rate >= {lo} THEN '{name}'" for lo, name in CHANGE_RATE_CLASSES[:-1]
+    )
+    last = CHANGE_RATE_CLASSES[-1][1]
+    return f"""
+        WITH d AS (
+          SELECT doc_id, 'h' || CAST(doc_id % 23 AS VARCHAR) AS host, text
+          FROM documents
+        ),
+        prev AS (
+          SELECT doc_id AS k, host,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' OLD' ELSE text END AS text
+          FROM d WHERE doc_id % 7 <> 0
+        ),
+        curr AS (
+          SELECT doc_id AS k, host, text FROM d WHERE doc_id % 11 <> 3
+        ),
+        j AS (
+          SELECT COALESCE(c.host, p.host) AS host,
+                 CASE WHEN p.k IS NULL THEN 'added'
+                      WHEN c.k IS NULL THEN 'removed'
+                      WHEN p.text IS NOT DISTINCT FROM c.text THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM prev p FULL OUTER JOIN curr c ON p.k = c.k
+        ),
+        agg AS (
+          SELECT host,
+                 CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                 CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                 CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                 CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+          FROM j GROUP BY host
+        ),
+        rated AS (
+          SELECT *,
+                 CASE WHEN n_changed + n_unchanged > 0
+                      THEN ROUND(n_changed * 1.0 / (n_changed + n_unchanged), 6)
+                 END AS rate
+          FROM agg
+        )
+        SELECT host, n_added, n_removed, n_changed, n_unchanged,
+               rate AS change_rate,
+               CASE WHEN n_changed + n_unchanged > 0
+                    THEN CASE {klass} ELSE '{last}' END
+               END AS changefreq_class
+        FROM rated
+        """
 
 
 def _linkgraph_prefix(dsp: str, dur: str) -> str:

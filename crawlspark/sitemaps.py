@@ -167,6 +167,90 @@ def seed_priority_py(sitemap_priority: float) -> int:
     return int(math.floor((1.0 - sitemap_priority) * 10.0 + 0.5))
 
 
+# Observed-change-rate → changefreq class thresholds (descending). The
+# class feeds recrawl_priority's CHANGEFREQ_DAYS, closing the estimate →
+# schedule loop; boundaries are halfway (in rate space) between the
+# 1/interval rates of adjacent classes.
+CHANGE_RATE_CLASSES: tuple[tuple[float, str], ...] = (
+    (0.5, "daily"),
+    (0.2, "weekly"),
+    (0.05, "monthly"),
+    (0.0, "yearly"),
+)
+
+
+def snapshot_change_stats(
+    prev: DataFrame,
+    curr: DataFrame,
+    key: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host content-change statistics between two crawl snapshots —
+    the ESTIMATION half of Cho & Garcia-Molina refresh scheduling
+    (``recrawl_priority`` is the allocation half; its changefreq input
+    can come from sitemap hints OR from this operator's observed class).
+
+    One full-outer join on the page key classifies every page as
+    added / removed / changed / unchanged (null-safe exact text equality
+    keyed on explicit row-presence flags, so NULL text never masquerades
+    as an absent row — at the 100 TB design point substitute a stored
+    content hash for the text column; the join shape is identical), then
+    one per-host aggregate.
+    change_rate = changed / (changed + unchanged) over pages seen in BOTH
+    snapshots (round(·,6)); NULL (not 0) when no page was seen twice —
+    no evidence is not evidence of stability. changefreq_class maps the
+    rate through CHANGE_RATE_CLASSES.
+
+    Scale shape: shuffle join on the page key (co-partitioned, AQE
+    skew-splittable) + one map-side-combinable host aggregate; nothing
+    corpus-derived is broadcast or collected."""
+    p = prev.select(
+        F.col(key).alias("k"),
+        F.col(host_col).alias("p_host"),
+        F.col(text_col).alias("p_text"),
+        F.lit(True).alias("p_present"),
+    )
+    c = curr.select(
+        F.col(key).alias("k"),
+        F.col(host_col).alias("c_host"),
+        F.col(text_col).alias("c_text"),
+        F.lit(True).alias("c_present"),
+    )
+    j = p.join(c, "k", "full_outer").select(
+        F.coalesce("c_host", "p_host").alias("host"),
+        F.when(F.col("p_present").isNull(), F.lit("added"))
+        .when(F.col("c_present").isNull(), F.lit("removed"))
+        .when(F.col("p_text").eqNullSafe(F.col("c_text")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+    cnt = lambda s: F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = j.groupBy("host").agg(
+        cnt("added").alias("n_added"),
+        cnt("removed").alias("n_removed"),
+        cnt("changed").alias("n_changed"),
+        cnt("unchanged").alias("n_unchanged"),
+    )
+    seen_twice = F.col("n_changed") + F.col("n_unchanged")
+    rate = F.when(
+        seen_twice > 0, F.round(F.col("n_changed") / seen_twice, 6)
+    )
+    klass = F.when(
+        seen_twice > 0,
+        F.coalesce(
+            *[
+                F.when(rate >= lo, F.lit(name))
+                for lo, name in CHANGE_RATE_CLASSES[:-1]
+            ],
+            F.lit(CHANGE_RATE_CLASSES[-1][1]),
+        ),
+    )
+    return agg.withColumn("change_rate", rate).withColumn(
+        "changefreq_class", klass
+    )
+
+
 def recrawl_priority(
     pages: DataFrame,
     now_day: str,

@@ -131,3 +131,88 @@ def test_output_schema_has_no_date_types(parsed):
     assert dt["lastmod_day"] == "string"
     scored = sitemaps.recrawl_priority(parsed, now_day="2026-08-01")
     assert dict(scored.dtypes)["recrawl_score"] == "double"
+
+
+# ---------------------------------------------------------------------------
+# snapshot_change_stats (the estimation half of the refresh scheduler)
+# ---------------------------------------------------------------------------
+
+SNAP_SCHEMA = "doc_id bigint, host string, text string"
+
+
+def test_change_stats_classifies_all_statuses(spark):
+    prev = spark.createDataFrame(
+        [
+            (1, "h0", "same"),
+            (2, "h0", "old"),
+            (3, "h0", "gone"),
+            (10, "h1", "alpha"),
+        ],
+        SNAP_SCHEMA,
+    )
+    curr = spark.createDataFrame(
+        [
+            (1, "h0", "same"),
+            (2, "h0", "new"),
+            (4, "h0", "fresh"),
+            (10, "h1", "alpha"),
+        ],
+        SNAP_SCHEMA,
+    )
+    out = {r.host: r for r in sitemaps.snapshot_change_stats(prev, curr).collect()}
+    h0 = out["h0"]
+    assert (h0.n_added, h0.n_removed, h0.n_changed, h0.n_unchanged) == (1, 1, 1, 1)
+    assert h0.change_rate == 0.5 and h0.changefreq_class == "daily"
+    h1 = out["h1"]
+    assert (h1.n_added, h1.n_removed, h1.n_changed, h1.n_unchanged) == (0, 0, 0, 1)
+    assert h1.change_rate == 0.0 and h1.changefreq_class == "yearly"
+
+
+def test_change_stats_no_overlap_is_null_not_zero(spark):
+    prev = spark.createDataFrame([(1, "h0", "a")], SNAP_SCHEMA)
+    curr = spark.createDataFrame([(2, "h0", "b")], SNAP_SCHEMA)
+    row = sitemaps.snapshot_change_stats(prev, curr).collect()[0]
+    assert (row.n_added, row.n_removed) == (1, 1)
+    # no page seen twice -> NULL rate and class (no evidence != stable)
+    assert row.change_rate is None and row.changefreq_class is None
+
+
+def test_change_stats_null_text_is_not_absence(spark):
+    # a row whose text is NULL is still a PRESENT page: NULL->NULL is
+    # unchanged, NULL->'x' is changed; neither is added/removed
+    prev = spark.createDataFrame([(1, "h0", None), (2, "h0", None)], SNAP_SCHEMA)
+    curr = spark.createDataFrame([(1, "h0", None), (2, "h0", "x")], SNAP_SCHEMA)
+    row = sitemaps.snapshot_change_stats(prev, curr).collect()[0]
+    assert (row.n_added, row.n_removed, row.n_changed, row.n_unchanged) == (0, 0, 1, 1)
+
+
+def test_change_stats_class_boundaries(spark):
+    # rate thresholds are inclusive: 0.5->daily, 0.2->weekly,
+    # 0.05->monthly, below->yearly
+    def mk(changed, unchanged, host, base):
+        rows = []
+        for i in range(changed):
+            rows.append((base + i, host, "a", f"b{i}"))
+        for i in range(unchanged):
+            rows.append((base + 1000 + i, host, "s", "s"))
+        return rows
+
+    data = (
+        mk(1, 1, "h_daily", 0)
+        + mk(1, 4, "h_weekly", 10000)
+        + mk(1, 19, "h_monthly", 20000)
+        + mk(1, 24, "h_yearly", 30000)
+    )
+    prev = spark.createDataFrame(
+        [(i, h, p) for i, h, p, _ in data], SNAP_SCHEMA
+    )
+    curr = spark.createDataFrame(
+        [(i, h, c) for i, h, _, c in data], SNAP_SCHEMA
+    )
+    out = {r.host: r.changefreq_class for r in sitemaps.snapshot_change_stats(prev, curr).collect()}
+    assert out == {
+        "h_daily": "daily",
+        "h_weekly": "weekly",
+        "h_monthly": "monthly",
+        "h_yearly": "yearly",
+    }

@@ -953,6 +953,39 @@ def _q_snapshot_change(spark, sf_dir):
     return sitemaps.snapshot_change_stats(prev, curr)
 
 
+def _q_redirect_resolve(spark, sf_dir):
+    """HTTP-redirect chain resolution (graphops.redirect_resolve): every
+    redirecting URL -> (final_url, n_hops, status) under a Googlebot-style
+    hop cap, via O(log max_hops) path-doubling self-joins. The redirect
+    graph derives deterministically from documents: node x = url('http://
+    h'||x%23||'.example/r/'||x); for j = doc_id%16, j=0 is a terminal,
+    j in 1..12 chains down to the 16k terminal (j>8 exceeds the cap),
+    j in 13..15 forms a 3-cycle (never resolves). Oracle = recursive-CTE
+    walk with the same hop budget."""
+    from crawlspark import graphops
+
+    docs = _tpch(spark, sf_dir, "documents").select("doc_id")
+    j = F.pmod(F.col("doc_id"), F.lit(16))
+    dst_id = (
+        F.when(j.isin(13, 14), F.col("doc_id") + 1)
+        .when(j == 15, F.col("doc_id") - 2)
+        .otherwise(F.col("doc_id") - 1)
+    )
+
+    def url(c):
+        return F.concat(
+            F.lit("http://h"),
+            F.pmod(c, F.lit(23)).cast("string"),
+            F.lit(".example/r/"),
+            c.cast("string"),
+        )
+
+    edges = docs.filter(j != 0).select(
+        url(F.col("doc_id")).alias("src"), url(dst_id).alias("dst")
+    )
+    return graphops.redirect_resolve(edges, max_hops=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_extract": _q_link_extract,
@@ -1019,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": _q_sitemap_extract,
         "recrawl_priority": _q_recrawl_priority,
         "snapshot_change": _q_snapshot_change,
+        "redirect_resolve": _q_redirect_resolve,
     }
 
 
@@ -2177,5 +2211,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, MIN(lbl) AS cluster_id,
                node = MIN(lbl) AS is_rep
         FROM reach GROUP BY node
+        """
+    # redirect resolution = bounded recursive walk over the same
+    # documents-derived functional redirect graph as _q_redirect_resolve
+    out["redirect_resolve"] = """
+        WITH RECURSIVE ids AS (
+          SELECT doc_id, doc_id % 16 AS j FROM documents WHERE doc_id % 16 <> 0
+        ),
+        raw AS (
+          SELECT doc_id AS src_id,
+                 CASE WHEN j IN (13, 14) THEN doc_id + 1
+                      WHEN j = 15 THEN doc_id - 2
+                      ELSE doc_id - 1 END AS dst_id
+          FROM ids
+        ),
+        edges AS (
+          SELECT 'http://h' || CAST(src_id % 23 AS VARCHAR) || '.example/r/'
+                   || CAST(src_id AS VARCHAR) AS src,
+                 MIN('http://h' || CAST(dst_id % 23 AS VARCHAR) || '.example/r/'
+                   || CAST(dst_id AS VARCHAR)) AS dst
+          FROM raw GROUP BY 1
+        ),
+        walk(src, cur, hops, done) AS (
+          SELECT e.src, e.dst, 1, s.src IS NULL
+          FROM edges e LEFT JOIN edges s ON e.dst = s.src
+          UNION ALL
+          SELECT w.src, e.dst, w.hops + 1, s.src IS NULL
+          FROM walk w
+          JOIN edges e ON w.cur = e.src
+          LEFT JOIN edges s ON e.dst = s.src
+          WHERE NOT w.done AND w.hops < 8
+        )
+        SELECT src AS url,
+               CASE WHEN done THEN cur END AS final_url,
+               CAST(CASE WHEN done THEN hops ELSE 8 END AS BIGINT) AS n_hops,
+               CASE WHEN done THEN 'resolved' ELSE 'unresolved' END AS status
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY src ORDER BY done DESC, hops DESC) AS rn
+              FROM walk) t
+        WHERE rn = 1
         """
     return out

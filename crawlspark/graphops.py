@@ -123,3 +123,92 @@ def dedup_clusters(pairs: DataFrame, a: str = "vec_a", b: str = "vec_b") -> Data
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_rep"),
     )
+
+
+def redirect_resolve(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Resolve HTTP-redirect chains to their final target — (url,
+    final_url, n_hops, status) for every redirecting URL. The alias map a
+    crawler needs after a round of 3xx responses: every chain member maps
+    to one canonical final URL, so duplicate content fetched via different
+    entry points collapses before dedup/frontier update.
+
+    Semantics match production crawler policy (curl/Googlebot-style hop
+    cap, no unbounded loop chasing): a chain that reaches a non-redirecting
+    terminal within ``max_hops`` hops is ``resolved`` with its exact hop
+    count; anything else — a longer chain or a redirect loop — is
+    ``unresolved`` with final_url NULL and n_hops = max_hops. A terminal is
+    any target that never appears as a redirect source. Duplicate
+    observations of one source are collapsed deterministically to the
+    minimum target before walking (one out-edge per URL — a functional
+    graph).
+
+    Algorithm: path doubling (the pointer-jumping trick of
+    ``connected_components`` applied to a functional graph) — state rows
+    (url, cur, hops, done) compose with themselves, doubling resolved path
+    length each iteration, so ``log2(max_hops)`` self-join shuffles cover
+    the full hop budget: 3 shuffles for the default 8, never O(chain
+    length) rounds. ``max_hops`` must be a power of two so "not done after
+    the last doubling" is exactly "needs > max_hops hops".
+
+    Scale shape: state stays one row per redirect source; each iteration
+    is one shuffle join keyed on the current-target URL plus the initial
+    terminal-detection left join — nothing corpus-derived is broadcast or
+    collected."""
+    if max_hops < 1 or (max_hops & (max_hops - 1)) != 0:
+        raise ValueError(f"max_hops must be a power of two, got {max_hops}")
+    e = (
+        edges.select(F.col(src).alias("url"), F.col(dst).alias("nxt"))
+        .groupBy("url")
+        .agg(F.min("nxt").alias("cur"))
+    )
+    is_src = e.select(F.col("url").alias("cur")).withColumn("_issrc", F.lit(True))
+    state = (
+        e.join(is_src, "cur", "left")
+        .select(
+            "url",
+            "cur",
+            F.lit(1).cast("long").alias("hops"),
+            F.col("_issrc").isNull().alias("done"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_hops.bit_length() - 1):
+        m = state.select(
+            F.col("url").alias("cur"),
+            F.col("cur").alias("m_cur"),
+            F.col("hops").alias("m_hops"),
+            F.col("done").alias("m_done"),
+        )
+        # done rows keep a terminal `cur` (never a source), so their lookup
+        # misses and the left join passes them through unchanged; non-done
+        # rows' cur is always a source, so their lookup always hits
+        new_state = (
+            state.join(m, "cur", "left")
+            .select(
+                "url",
+                F.when(F.col("done"), F.col("cur")).otherwise(F.col("m_cur")).alias("cur"),
+                F.when(F.col("done"), F.col("hops"))
+                .otherwise(F.col("hops") + F.col("m_hops"))
+                .alias("hops"),
+                F.when(F.col("done"), F.lit(True)).otherwise(F.col("m_done")).alias("done"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        state.unpersist()
+        state = new_state
+    out = state.select(
+        "url",
+        F.when(F.col("done"), F.col("cur")).alias("final_url"),
+        F.when(F.col("done"), F.col("hops"))
+        .otherwise(F.lit(max_hops))
+        .cast("long")
+        .alias("n_hops"),
+        F.when(F.col("done"), F.lit("resolved")).otherwise(F.lit("unresolved")).alias("status"),
+    ).localCheckpoint(eager=True)
+    state.unpersist()
+    return out

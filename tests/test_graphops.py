@@ -104,3 +104,65 @@ def test_cc_releases_cached_blocks(spark):
     # localCheckpoint RDDs of the 3 results may linger until GC; persisted
     # iteration intermediates must not (bounded, not linear in iterations)
     assert after - before <= 3
+
+
+# ---------------------------------------------------------------------------
+# redirect_resolve (path-doubling 3xx chain resolution)
+# ---------------------------------------------------------------------------
+
+
+def _rr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = graphops.redirect_resolve(df, **kw).collect()
+    return {r["url"]: (r["final_url"], r["n_hops"], r["status"]) for r in rows}
+
+
+def test_redirect_chain_resolves_with_exact_hops(spark):
+    got = _rr(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {
+        "a": ("d", 3, "resolved"),
+        "b": ("d", 2, "resolved"),
+        "c": ("d", 1, "resolved"),
+    }
+
+
+def test_redirect_loop_is_unresolved(spark):
+    got = _rr(spark, [("x", "y"), ("y", "z"), ("z", "x"), ("a", "x")])
+    assert got == {
+        "x": (None, 8, "unresolved"),
+        "y": (None, 8, "unresolved"),
+        "z": (None, 8, "unresolved"),
+        "a": (None, 8, "unresolved"),  # feeds INTO a loop
+    }
+
+
+def test_redirect_hop_cap_boundary(spark):
+    """Chain of exactly max_hops resolves; one longer does not."""
+    chain = [(f"n{i}", f"n{i+1}") for i in range(9)]  # n0 -> ... -> n9
+    got = _rr(spark, chain, max_hops=8)
+    assert got["n1"] == ("n9", 8, "resolved")  # exactly 8 hops
+    assert got["n0"] == (None, 8, "unresolved")  # 9 hops: past the cap
+    assert got["n2"] == ("n9", 7, "resolved")
+
+
+def test_redirect_aliases_collapse_to_one_final(spark):
+    """Multiple entry points into one chain map to the same final URL —
+    the alias-collapse property dedup needs."""
+    got = _rr(spark, [("m1", "t"), ("m2", "t"), ("m3", "m1")])
+    finals = {v[0] for v in got.values()}
+    assert finals == {"t"}
+
+
+def test_redirect_duplicate_observations_deterministic(spark):
+    """Repeated/conflicting observations of one source collapse to the
+    minimum target before walking."""
+    got = _rr(spark, [("a", "c"), ("a", "b")])
+    assert got["a"] == ("b", 1, "resolved")
+
+
+def test_redirect_max_hops_must_be_power_of_two(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="power of two"):
+        graphops.redirect_resolve(df, max_hops=6)

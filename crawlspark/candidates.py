@@ -104,7 +104,14 @@ def candidate_rows(
 
         for pdf in batches:
             n = len(pdf)
-            depth = pdf["parent_depth"].to_numpy().astype(np.int64) + 1
+            # a redirect (location span) is the SAME resource: its target
+            # inherits the parent's depth and priority unchanged, while
+            # real outlinks step depth by 1 (oracle/simulator.py mirrors)
+            kinds_all = pdf["kind"].to_numpy(object)
+            is_loc = np.asarray(kinds_all, dtype=object) == "location"
+            depth = pdf["parent_depth"].to_numpy().astype(np.int64) + np.where(
+                is_loc, 0, 1
+            )
             alive = depth <= max_depth
 
             # resolve: vectorized concat fast paths (absolute, protocol-
@@ -157,9 +164,9 @@ def candidate_rows(
                 if len(uniq)
                 else np.empty(0, np.int64)
             )
-            kinds = pdf["kind"].to_numpy(object)[idx]
+            kinds = np.asarray(kinds_all[idx], dtype=object)
             prio = pdf["parent_priority"].to_numpy().astype(np.int64)[idx] + np.where(
-                np.asarray(kinds, dtype=object) == "link", 1, 2
+                kinds == "location", 0, np.where(kinds == "link", 1, 2)
             )
             res = pd.DataFrame(
                 {

@@ -47,12 +47,32 @@ class FetchSpec:
     # extensions and ~1/17 of links a blocklisted path prefix. Off by
     # default so every existing fixture/digest stays byte-identical.
     media_exts: bool = False
+    # opt-in HTTP redirects: when > 0, ~1/redirect_mod of URLs return 301
+    # with a single `location` span carrying the absolute target (which may
+    # itself redirect — chains and the occasional loop emerge organically
+    # from the hash universe). 0 = off, so every existing fixture/digest
+    # stays byte-identical.
+    redirect_mod: int = 0
 
 
 DEFAULT_SPEC = FetchSpec()
 
 
+def redirect_of(url: str, spec: FetchSpec = DEFAULT_SPEC) -> str | None:
+    """Absolute redirect target for `url`, or None. Pure: the redirect
+    decision and target are functions of the URL alone, so a target may
+    itself redirect — chains arise naturally. Decided BEFORE the 404 draw
+    (a redirecting URL is never a 404)."""
+    if spec.redirect_mod and hash_str(url + "#redir") % spec.redirect_mod == 0:
+        k = hash_str(url + "#rt") % spec.n_hosts
+        pid = hash_str(url + "#rp") % spec.path_space
+        return f"http://h{k}.example/p/{pid}"
+    return None
+
+
 def status_of(url: str, spec: FetchSpec = DEFAULT_SPEC) -> int:
+    if redirect_of(url, spec) is not None:
+        return 301
     return 404 if hash_str(url + "#fetch") % spec.not_found_mod == 0 else 200
 
 
@@ -101,8 +121,14 @@ def span_at(url: str, j: int, spec: FetchSpec = DEFAULT_SPEC) -> dict:
 
 
 def simulate_fetch(url: str, spec: FetchSpec = DEFAULT_SPEC) -> tuple[int, list[dict] | None]:
-    """(status, spans) for a canonical URL. 404 ⇒ spans is None."""
+    """(status, spans) for a canonical URL. 404 ⇒ spans is None; 301 ⇒ one
+    `location` span whose media_ref is the absolute redirect target."""
     status = status_of(url, spec)
+    if status == 301:
+        loc = redirect_of(url, spec)
+        return status, [
+            {"kind": "location", "text": "", "media_ref": loc, "offset": 0}
+        ]
     if status != 200:
         return status, None
     n = 1 + hash_str(url + "#n") % spec.max_spans

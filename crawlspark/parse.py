@@ -23,6 +23,13 @@ from pyspark.sql.types import StringType
 from . import urlnorm
 
 LINK_KINDS = ("link", "image", "video")
+# `location` rides the same path: a 301 doc carries exactly one location
+# span (fetch_spec.simulate_fetch) whose target must enter the candidate
+# pipeline — with UNCHANGED priority/depth (a redirect is the same
+# resource, not an outlink; candidates.py and oracle/simulator.py apply
+# the same rule). 200 docs never carry location spans, so one combined
+# kind filter is faithful without a per-status branch.
+FOLLOW_KINDS = LINK_KINDS + ("location",)
 
 
 @pandas_udf(StringType())
@@ -41,14 +48,15 @@ def resolve_canon(
 
 def extract_links(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """DOCUMENTS rows → (base_url, [carry...], pos, kind, anchor_text, ref,
-    offset): one row per link-bearing span of every status-200 doc, span
-    order preserved. Targets not yet resolved (pure JVM plan)."""
-    pruned = docs.filter(F.col("status") == 200).select(
+    offset): one row per link-bearing span of every status-200 doc plus the
+    location span of every 301 doc, span order preserved. Targets not yet
+    resolved (pure JVM plan)."""
+    pruned = docs.filter(F.col("status").isin(200, 301)).select(
         F.col("url").alias("base_url"),
         *carry,
         F.filter(
             F.col("spans"),
-            lambda s: s["kind"].isin(*LINK_KINDS) & s["media_ref"].isNotNull()
+            lambda s: s["kind"].isin(*FOLLOW_KINDS) & s["media_ref"].isNotNull()
             & (s["media_ref"] != ""),
         ).alias("link_spans"),
     )
@@ -80,9 +88,26 @@ def candidate_links(docs: DataFrame, parents: DataFrame) -> DataFrame:
     joined = links.join(p, links["base_url"] == p["_p_url"], "inner")
     return joined.select(
         resolve_canon(F.col("base_url"), F.col("ref")).alias("url"),
-        (F.col("_p_depth") + 1).cast("int").alias("crawl_depth"),
+        (
+            F.col("_p_depth")
+            + F.when(F.col("kind") == "location", F.lit(0)).otherwise(F.lit(1))
+        ).cast("int").alias("crawl_depth"),
         (
             F.col("_p_priority")
-            + F.when(F.col("kind") == "link", F.lit(1)).otherwise(F.lit(2))
+            + F.when(F.col("kind") == "location", F.lit(0))
+            .when(F.col("kind") == "link", F.lit(1))
+            .otherwise(F.lit(2))
         ).cast("int").alias("priority"),
     ).filter(F.col("url").isNotNull())
+
+
+def redirect_edges(docs: DataFrame) -> DataFrame:
+    """Redirect observations from 301 docs: (src, dst) canonical URL pairs
+    — the input edge table of graphops.redirect_resolve, turning a crawl's
+    accumulated documents into a chain-resolved alias map. Pure JVM prune +
+    one fused resolve+canon UDF over only the 301 rows."""
+    links = extract_links(docs).filter(F.col("kind") == "location")
+    return links.select(
+        F.col("base_url").alias("src"),
+        resolve_canon(F.col("base_url"), F.col("ref")).alias("dst"),
+    ).filter(F.col("dst").isNotNull())

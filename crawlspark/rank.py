@@ -95,8 +95,10 @@ def adaptive_host_state(
     docs: DataFrame, prev_state: DataFrame | None, cfg: CrawlConfig
 ) -> DataFrame:
     """Next round's (host_hash, mult) from this round's fetch outcomes:
-    >=50% non-200 docs -> mult*2 (capped), zero errors -> mult//2, hosts not
-    fetched keep their multiplier. Only mult > 1 rows are emitted (sparse)."""
+    >=50% error (4xx/5xx) docs -> mult*2 (capped), zero errors -> mult//2,
+    hosts not fetched keep their multiplier; 3xx redirects are NOT errors
+    (oracle/simulator.py fetch_stats mirrors the >=400 rule). Only mult > 1
+    rows are emitted (sparse)."""
     stats = (
         docs.select(
             F.xxhash64(F.parse_url("url", F.lit("HOST"))).alias("host_hash"),
@@ -105,7 +107,7 @@ def adaptive_host_state(
         .groupBy("host_hash")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("err"),
+            F.sum(F.when(F.col("status") >= 400, 1).otherwise(0)).alias("err"),
         )
     )
     if prev_state is None:

@@ -167,12 +167,12 @@ def simulate(
             res.docs.append((fs.doc_id_of(e.url_hash), e.url, r, status, spans))
             s = fetch_stats.setdefault(e.host_hash, [0, 0])
             s[0] += 1
-            if status != 200:
+            if status >= 400:
                 s[1] += 1
-            if status != 200 or not spans:
+            if status not in (200, 301) or not spans:
                 continue
             for s in spans:
-                if s["kind"] not in ("link", "image", "video"):
+                if s["kind"] not in ("link", "image", "video", "location"):
                     continue
                 ref = s["media_ref"]
                 if not ref:
@@ -182,8 +182,14 @@ def simulate(
                 if p is None:
                     continue
                 url, uh, host, hh = p
-                depth = e.crawl_depth + 1
-                prio = e.priority + (1 if s["kind"] == "link" else 2)
+                # a redirect target is the SAME resource: depth/priority
+                # inherit unchanged (candidates.py applies the same rule)
+                if s["kind"] == "location":
+                    depth = e.crawl_depth
+                    prio = e.priority
+                else:
+                    depth = e.crawl_depth + 1
+                    prio = e.priority + (1 if s["kind"] == "link" else 2)
                 if depth > cfg.max_depth:
                     continue
                 if not _robots_ok(url, host):

@@ -78,6 +78,18 @@ class CrawlConfig:
     # (oracle/simulator.py) and the filtered count lands in lineage as
     # stage='url_filtered' plus the round_info counter.
     url_quality_filter: bool = False
+    # opt-in content-seen dedup (Heritrix-style content-digest test): docs
+    # whose span-array fingerprint (parse.content_fingerprint) was already
+    # seen — in a previous round, or this round under a lexicographically
+    # smaller URL — are still RECORDED in the documents sink but their
+    # links are never extracted, so mirror families expand the frontier
+    # exactly once. State = one append-only (content_hash, url) row per
+    # first sighting; per-round cost = one map-side-combinable aggregate +
+    # one anti-join keyed on the digest (no broadcasts). Mirrored in the
+    # oracle at the same stage; suppressed count lands in lineage as
+    # stage='content_dups' plus the round_info counter. OFF by default
+    # (changes the crawl's expansion, a policy choice).
+    content_dedup: bool = False
     # opt-in host-priority boosts — the consumption side of the link-graph
     # signals (e.g. quantized offline PageRank from linkgraph.host_pagerank,
     # see linkgraph.pagerank_boosts): tuples of (host, boost), LOWER boost

@@ -53,6 +53,13 @@ class FetchSpec:
     # from the hash universe). 0 = off, so every existing fixture/digest
     # stays byte-identical.
     redirect_mod: int = 0
+    # opt-in content mirrors: when > 0, ~1/mirror_mod of status-200 URLs
+    # draw their span array from a shared content key (mirror_space
+    # distinct keys) instead of the URL itself, so byte-identical documents
+    # exist under different URLs — the universe CrawlConfig.content_dedup
+    # exists for. 0 = off (byte-identical to the pre-flag universe).
+    mirror_mod: int = 0
+    mirror_space: int = 200
 
 
 DEFAULT_SPEC = FetchSpec()
@@ -120,6 +127,27 @@ def span_at(url: str, j: int, spec: FetchSpec = DEFAULT_SPEC) -> dict:
     return {"kind": kind, "text": text, "media_ref": ref, "offset": j}
 
 
+def mirror_seed_of(url: str, spec: FetchSpec = DEFAULT_SPEC) -> str | None:
+    """Shared content key when `url` is a mirror, else None. Mirrors of the
+    same key produce byte-identical span arrays (relative link refs then
+    resolve against each mirror's own host, as real relative-linked mirror
+    sites do)."""
+    if spec.mirror_mod and hash_str(url + "#mir") % spec.mirror_mod == 0:
+        return f"mirror:{hash_str(url + '#mkey') % spec.mirror_space}"
+    return None
+
+
+def content_fingerprint_py(spans: list[dict]) -> int:
+    """xxh64 content digest of a span array — bit-equal to the engine's
+    parse.content_fingerprint Column (same field/record separators, same
+    None→'' coalescing, Spark default seed)."""
+    parts = [
+        f"{s['kind']}\x1e{s['text'] or ''}\x1e{s['media_ref'] or ''}\x1e{s['offset']}"
+        for s in spans
+    ]
+    return hash_str("\x1f".join(parts))
+
+
 def simulate_fetch(url: str, spec: FetchSpec = DEFAULT_SPEC) -> tuple[int, list[dict] | None]:
     """(status, spans) for a canonical URL. 404 ⇒ spans is None; 301 ⇒ one
     `location` span whose media_ref is the absolute redirect target."""
@@ -131,8 +159,9 @@ def simulate_fetch(url: str, spec: FetchSpec = DEFAULT_SPEC) -> tuple[int, list[
         ]
     if status != 200:
         return status, None
-    n = 1 + hash_str(url + "#n") % spec.max_spans
-    return status, [span_at(url, j, spec) for j in range(n)]
+    seed = mirror_seed_of(url, spec) or url
+    n = 1 + hash_str(seed + "#n") % spec.max_spans
+    return status, [span_at(seed, j, spec) for j in range(n)]
 
 
 def doc_id_of(url_hash: int) -> str:

@@ -622,11 +622,49 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         )
     _tick("fetch")
 
+    # --- content-seen dedup (opt-in): suppress link extraction for docs
+    # whose content digest was already sighted (config.content_dedup) -----
+    docs_parse = docs_r
+    n_content_dups = 0
+    if cfg.content_dedup:
+        from .parse import content_fingerprint
+
+        obs_200 = Observation()
+        d200 = (
+            docs_r.filter(F.col("status") == 200)
+            .observe(obs_200, F.count(F.lit(1)).alias("n"))
+            .withColumn("content_hash", content_fingerprint(F.col("spans")))
+        )
+        # first sighting wins: min url within the round; digests already in
+        # the accumulated table drop via the anti-join (shuffle keyed on the
+        # digest — nothing corpus-derived is broadcast)
+        winners = d200.groupBy("content_hash").agg(F.min("url").alias("url"))
+        prev_content = store.read_all("content_seen", r - 1)
+        if prev_content is not None:
+            winners = winners.hint("shuffle_hash").join(
+                prev_content.select("content_hash"), "content_hash", "left_anti"
+            )
+        obs_keep = Observation()
+        store.write(
+            winners.observe(obs_keep, F.count(F.lit(1)).alias("n")).select(
+                "content_hash", "url"
+            ),
+            r,
+            "content_seen",
+        )
+        n_content_dups = int(obs_200.get["n"]) - int(obs_keep.get["n"])
+        # re-read the just-written keepers (exactly-once, resume-identical)
+        kept = store.read(r, "content_seen").select("url")
+        docs_parse = docs_r.filter(F.col("status") != 200).unionByName(
+            docs_r.filter(F.col("status") == 200).join(kept, "url", "left_semi")
+        )
+        _tick("content_dedup")
+
     # --- parse (U-6) -> candidates -> new (J1): single fused Arrow pass ----
     seen_df = store.read_seen(r - 1)
     relational_bloom = resolve_bloom_relational(cfg)
     cands = cand_mod.candidate_rows(
-        docs_r,
+        docs_parse,
         cfg,
         st.rules_bcast(),
         None if relational_bloom else st.bloom_broadcasts(),
@@ -705,6 +743,10 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         n_url_filtered = int(obs_uq.get["n_filtered"] or 0)
         lineage = lineage.unionByName(
             metrics.scalar_lineage(spark, r, "url_filtered", n_url_filtered)
+        )
+    if cfg.content_dedup:
+        lineage = lineage.unionByName(
+            metrics.scalar_lineage(spark, r, "content_dups", n_content_dups)
         )
     fetch_m = metrics.fetch_metrics(docs_r, r)
     lm_futures = []
@@ -807,6 +849,8 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     info_counters = {"selected": n_selected, "new": n_new, "frontier": n_frontier}
     if cfg.url_quality_filter:
         info_counters["url_filtered"] = n_url_filtered
+    if cfg.content_dedup:
+        info_counters["content_dups"] = n_content_dups
     store.commit_round(r, info_counters)
     if _elig_cached is not None:
         _elig_cached.unpersist()

@@ -54,6 +54,7 @@ class OracleResult:
     last_selected: list[tuple[Entry, int]] = field(default_factory=list)  # (entry, rank)
     last_candidates_raw: list[Entry] = field(default_factory=list)  # pre-A2-dedup
     last_candidates: list[Entry] = field(default_factory=list)  # post-A2, pre-seen-filter
+    content_seen: dict[int, str] = field(default_factory=dict)  # fingerprint -> first url
 
 
 def _prep_url(raw: str, cfg: CrawlConfig) -> tuple[str, int, str, int] | None:
@@ -162,6 +163,7 @@ def simulate(
         new_cand: dict[int, Entry] = {}
         fetch_stats: dict[int, list[int]] = {}  # host_hash -> [n, err]
         uq_filtered: set[int] = set()  # distinct url_hashes dropped by F6b
+        fetched: list[tuple[Entry, int, list[dict] | None]] = []
         for e, _rank in selected:
             status, spans = fs.simulate_fetch(e.url, spec)
             res.docs.append((fs.doc_id_of(e.url_hash), e.url, r, status, spans))
@@ -169,7 +171,32 @@ def simulate(
             s[0] += 1
             if status >= 400:
                 s[1] += 1
+            fetched.append((e, status, spans))
+        # content-seen dedup (opt-in): suppress link extraction for docs
+        # whose span fingerprint was sighted in an earlier round or, this
+        # round, under a lexicographically smaller URL (round.py mirrors)
+        content_dups = 0
+        suppressed: set[str] = set()
+        if cfg.content_dedup:
+            win: dict[int, str] = {}
+            for e, status, spans in fetched:
+                if status == 200:
+                    d = fs.content_fingerprint_py(spans)
+                    if d not in win or e.url < win[d]:
+                        win[d] = e.url
+            for e, status, spans in fetched:
+                if status != 200:
+                    continue
+                d = fs.content_fingerprint_py(spans)
+                if d in res.content_seen or e.url != win[d]:
+                    suppressed.add(e.url)
+                    content_dups += 1
+            for d, u in win.items():
+                res.content_seen.setdefault(d, u)
+        for e, status, spans in fetched:
             if status not in (200, 301) or not spans:
+                continue
+            if e.url in suppressed:
                 continue
             for s in spans:
                 if s["kind"] not in ("link", "image", "video", "location"):
@@ -248,6 +275,8 @@ def simulate(
         }
         if cfg.url_quality_filter:
             round_info["url_filtered"] = len(uq_filtered)
+        if cfg.content_dedup:
+            round_info["content_dups"] = content_dups
         res.rounds.append(round_info)
         if not frontier:
             break

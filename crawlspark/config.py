@@ -90,6 +90,17 @@ class CrawlConfig:
     # stage='content_dups' plus the round_info counter. OFF by default
     # (changes the crawl's expansion, a policy choice).
     content_dedup: bool = False
+    # opt-in transient-failure retries (FetchSpec.error_mod plants the
+    # 503s): a 503'd URL re-enters scheduling after an exponential backoff
+    # (2^attempt rounds), up to this many attempts, then is abandoned (it
+    # stays in seen either way, so it is never re-discovered). Retry state
+    # lives in its own small per-round `retry_queue` table — O(recent
+    # failures), rewritten whole each round — NOT in the frontier, so both
+    # frontier engines (stored and delta) are untouched by the feature and
+    # the delta chain's add/remove semantics never see a re-added hash.
+    # Queue rows compete in the normal scheduler (budgets, politeness,
+    # capacity). 0 = off (default path bit-identical). Oracle-mirrored.
+    fetch_retries: int = 0
     # opt-in host-priority boosts — the consumption side of the link-graph
     # signals (e.g. quantized offline PageRank from linkgraph.host_pagerank,
     # see linkgraph.pagerank_boosts): tuples of (host, boost), LOWER boost

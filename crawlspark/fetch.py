@@ -77,7 +77,7 @@ def fetch_selected_pandas(
             for url, url_hash, prio, depth in zip(
                 pdf["url"], pdf["url_hash"], pdf["priority"], pdf["crawl_depth"]
             ):
-                status, spans = fetch_spec.simulate_fetch(url, spec)
+                status, spans = fetch_spec.simulate_fetch(url, spec, round_)
                 out["doc_id"].append(fetch_spec.doc_id_of(url_hash))
                 out["url"].append(url)
                 out["fetch_round"].append(round_)
@@ -121,7 +121,7 @@ def fetch_selected(
             offsets: list[int] = [0]
             validity: list[bool] = []
             for url, url_hash in zip(urls, hashes):
-                status, spans = fetch_spec.simulate_fetch(url, spec)
+                status, spans = fetch_spec.simulate_fetch(url, spec, round_)
                 doc_ids.append(fetch_spec.doc_id_of(url_hash))
                 statuses.append(status)
                 if spans is None:

@@ -60,6 +60,12 @@ class FetchSpec:
     # exists for. 0 = off (byte-identical to the pre-flag universe).
     mirror_mod: int = 0
     mirror_space: int = 200
+    # opt-in transient fetch errors: when > 0, ~1/error_mod of (url, round)
+    # draws return 503 — the SAME url can fail in one round and succeed in
+    # a later one, which is exactly what CrawlConfig.fetch_retries
+    # re-schedules for. Round-independent callers (round_=None) never see
+    # a 503. 0 = off (byte-identical to the pre-flag universe).
+    error_mod: int = 0
 
 
 DEFAULT_SPEC = FetchSpec()
@@ -77,9 +83,17 @@ def redirect_of(url: str, spec: FetchSpec = DEFAULT_SPEC) -> str | None:
     return None
 
 
-def status_of(url: str, spec: FetchSpec = DEFAULT_SPEC) -> int:
+def status_of(
+    url: str, spec: FetchSpec = DEFAULT_SPEC, round_: int | None = None
+) -> int:
     if redirect_of(url, spec) is not None:
         return 301
+    if (
+        spec.error_mod
+        and round_ is not None
+        and hash_str(f"{url}#err{round_}") % spec.error_mod == 0
+    ):
+        return 503
     return 404 if hash_str(url + "#fetch") % spec.not_found_mod == 0 else 200
 
 
@@ -148,10 +162,13 @@ def content_fingerprint_py(spans: list[dict]) -> int:
     return hash_str("\x1f".join(parts))
 
 
-def simulate_fetch(url: str, spec: FetchSpec = DEFAULT_SPEC) -> tuple[int, list[dict] | None]:
-    """(status, spans) for a canonical URL. 404 ⇒ spans is None; 301 ⇒ one
-    `location` span whose media_ref is the absolute redirect target."""
-    status = status_of(url, spec)
+def simulate_fetch(
+    url: str, spec: FetchSpec = DEFAULT_SPEC, round_: int | None = None
+) -> tuple[int, list[dict] | None]:
+    """(status, spans) for a canonical URL. 404/503 ⇒ spans is None; 301 ⇒
+    one `location` span whose media_ref is the absolute redirect target.
+    `round_` only matters under error_mod (transient 503 draws)."""
+    status = status_of(url, spec, round_)
     if status == 301:
         loc = redirect_of(url, spec)
         return status, [

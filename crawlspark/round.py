@@ -579,11 +579,29 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             prev_host_state = store.read(r - 1, "host_state")
         eligible = rank.apply_adaptive(eligible, prev_host_state, cfg)
 
+    # --- retry queue (opt-in cfg.fetch_retries): 503'd URLs re-enter
+    # scheduling from their own small table — never through the frontier,
+    # so neither frontier engine sees a re-added hash ----------------------
+    sched_input = eligible
+    q_elig = q_inelig = None
+    if cfg.fetch_retries:
+        sched_input = eligible.withColumn("retries", F.lit(0).cast("int"))
+        if store.exists(r - 1, "retry_queue"):
+            q = store.read(r - 1, "retry_queue")
+            q_elig = q.filter(F.col("not_before_round") <= r)
+            q_inelig = q.filter(F.col("not_before_round") > r)
+            if cfg.adaptive_politeness:
+                q_elig = rank.apply_adaptive(q_elig, prev_host_state, cfg)
+            for c in sched_input.columns:
+                if c not in q_elig.columns:  # e.g. the delta engine's _nb_stored
+                    q_elig = q_elig.withColumn(c, F.lit(None).cast("int"))
+            sched_input = sched_input.unionByName(q_elig.select(*sched_input.columns))
+
     # --- schedule (W1/W2 salted two-phase + O3 cap + S10 order) ------------
     # attach_boosts: opt-in host-priority boosts (config.host_boosts) lead
     # the emission sort so boosted hosts win the capacity cap; the
     # transient column is dropped before anything persists.
-    selected = rank.attach_boosts(rank.select_batch(eligible, st.robots_df, cfg), cfg)
+    selected = rank.attach_boosts(rank.select_batch(sched_input, st.robots_df, cfg), cfg)
     seq_df = rank.with_seq(
         rank.cap_round(selected, cfg), scalable=cfg.round_capacity is None
     )
@@ -659,6 +677,46 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             docs_r.filter(F.col("status") == 200).join(kept, "url", "left_semi")
         )
         _tick("content_dedup")
+
+    # --- retry-queue advance (opt-in): re-queue this round's 503s with
+    # exponential backoff, bump non-selected eligible queue rows like the
+    # frontier's deferral, keep ineligible rows; whole-queue rewrite is
+    # O(recent failures), never O(frontier) --------------------------------
+    n_retry_queue = 0
+    if cfg.fetch_retries:
+        rq_cols = [f.name for f in FRONTIER.fields] + ["retries"]
+        failed = docs_r.filter(F.col("status") == 503).select("url")
+        fail_rows = (
+            sched_input.join(failed, "url", "left_semi")
+            .filter(F.col("retries") < cfg.fetch_retries)
+            .withColumn("retries", (F.col("retries") + 1).cast("int"))
+            .withColumn(
+                "not_before_round",
+                (F.lit(r) + F.expr("shiftleft(1, retries)")).cast("int"),
+            )
+            .withColumn("state", F.lit("retry"))
+        )
+        queue_next = fail_rows.select(*rq_cols)
+        if q_elig is not None:
+            mult_col = F.col("mult") if "mult" in q_elig.columns else F.lit(1)
+            remain = (
+                q_elig.join(ordered.select("url_hash"), "url_hash", "left_anti")
+                .withColumn(
+                    "not_before_round",
+                    (F.lit(r) + F.col("delay_slots") * mult_col).cast("int"),
+                )
+            )
+            queue_next = queue_next.unionByName(remain.select(*rq_cols)).unionByName(
+                q_inelig.select(*rq_cols)
+            )
+        obs_rq = Observation()
+        store.write(
+            queue_next.observe(obs_rq, F.count(F.lit(1)).alias("n")),
+            r,
+            "retry_queue",
+        )
+        n_retry_queue = int(obs_rq.get["n"])
+        _tick("retry_queue")
 
     # --- parse (U-6) -> candidates -> new (J1): single fused Arrow pass ----
     seen_df = store.read_seen(r - 1)
@@ -851,6 +909,8 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         info_counters["url_filtered"] = n_url_filtered
     if cfg.content_dedup:
         info_counters["content_dups"] = n_content_dups
+    if cfg.fetch_retries:
+        info_counters["retry_queue"] = n_retry_queue
     store.commit_round(r, info_counters)
     if _elig_cached is not None:
         _elig_cached.unpersist()
@@ -873,7 +933,7 @@ def run_crawl(st: CrawlState, max_rounds: int) -> list[dict]:
         every = st.cfg.compact_seen_every
         if every and r % every == 0:
             st.store.compact_seen(r)
-        if info["frontier"] == 0:
+        if info["frontier"] == 0 and info.get("retry_queue", 0) == 0:
             break
     return out
 

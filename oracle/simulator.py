@@ -94,6 +94,10 @@ def simulate(
     # keep theirs. budget_eff = max(1, base_budget // mult); deferral delay
     # stretches to delay*mult. No-op unless cfg.adaptive_politeness.
     mult: dict[int, int] = {}
+    # transient-failure retry queue (cfg.fetch_retries): url_hash ->
+    # (Entry, attempts so far) — separate from the frontier, exactly like
+    # the engine's retry_queue table (round.py)
+    retry_q: dict[int, tuple[Entry, int]] = {}
 
     # --- init (SPEC.md Init) ------------------------------------------------
     # seed intake: explicit seeds at priority 0, plus (opt-in) sitemap
@@ -133,6 +137,9 @@ def simulate(
         res.last_round = r
         res.last_seen_before = dict(res.seen)
         eligible = [e for e in frontier.values() if e.not_before_round <= r]
+        if cfg.fetch_retries:
+            # retry-queue rows compete in the normal scheduler
+            eligible += [e for e, _k in retry_q.values() if e.not_before_round <= r]
         # per-host top-B_h by (priority, depth, url_hash, url)  [SPEC §3]
         by_host: dict[int, list[Entry]] = {}
         for e in eligible:
@@ -165,7 +172,7 @@ def simulate(
         uq_filtered: set[int] = set()  # distinct url_hashes dropped by F6b
         fetched: list[tuple[Entry, int, list[dict] | None]] = []
         for e, _rank in selected:
-            status, spans = fs.simulate_fetch(e.url, spec)
+            status, spans = fs.simulate_fetch(e.url, spec, r)
             res.docs.append((fs.doc_id_of(e.url_hash), e.url, r, status, spans))
             s = fetch_stats.setdefault(e.host_hash, [0, 0])
             s[0] += 1
@@ -255,6 +262,28 @@ def simulate(
                     delay *= mult.get(e.host_hash, 1)
                 e.not_before_round = r + delay
             next_frontier[uh] = e
+        if cfg.fetch_retries:
+            # queue advance mirrors round.py: non-selected eligible rows
+            # bump like deferral (pre-update mult), 503s re-queue with
+            # exponential backoff up to cfg.fetch_retries attempts
+            next_q: dict[int, tuple[Entry, int]] = {}
+            for uh, (e, k) in retry_q.items():
+                if uh in sel_hashes:
+                    continue
+                if e.not_before_round <= r:
+                    _, delay = _host_budget(e.host, cfg)
+                    if cfg.adaptive_politeness:
+                        delay *= mult.get(e.host_hash, 1)
+                    e.not_before_round = r + delay
+                next_q[uh] = (e, k)
+            for e, status, _spans in fetched:
+                if status != 503:
+                    continue
+                k = retry_q.get(e.url_hash, (None, 0))[1]
+                if k < cfg.fetch_retries:
+                    e2 = replace(e, not_before_round=r + (1 << (k + 1)))
+                    next_q[e.url_hash] = (e2, k + 1)
+            retry_q = next_q
         if cfg.adaptive_politeness:
             for hh, (n, err) in fetch_stats.items():
                 m = mult.get(hh, 1)
@@ -277,8 +306,10 @@ def simulate(
             round_info["url_filtered"] = len(uq_filtered)
         if cfg.content_dedup:
             round_info["content_dups"] = content_dups
+        if cfg.fetch_retries:
+            round_info["retry_queue"] = len(retry_q)
         res.rounds.append(round_info)
-        if not frontier:
+        if not frontier and not retry_q:
             break
     return res
 

@@ -612,8 +612,16 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     if hasattr(seq_df, "_cs_cached"):
         ordered._cs_cached = seq_df._cs_cached
     obs_sel = Observation()
+    # n_from_frontier: selected rows that actually came OUT of the frontier
+    # (retry-queue rows — retries > 0 — never were in it), so the delta
+    # engine's running frontier counter subtracts the right amount
+    _sel_aggs = [F.count(F.lit(1)).alias("n")]
+    if cfg.fetch_retries:
+        _sel_aggs.append(
+            F.sum((F.col("retries") == 0).cast("long")).alias("n_frontier_sel")
+        )
     store.write(
-        ordered.observe(obs_sel, F.count(F.lit(1)).alias("n")).select(
+        ordered.observe(obs_sel, *_sel_aggs).select(
             F.lit(r).cast("int").alias("round"),
             "seq",
             "url",
@@ -624,6 +632,9 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         "crawl_order",
     )
     n_selected = int(obs_sel.get["n"])
+    n_frontier_sel = (
+        int(obs_sel.get["n_frontier_sel"] or 0) if cfg.fetch_retries else n_selected
+    )
     _tick("schedule")
 
     # --- fetch (U-5) -> documents sink (S5) --------------------------------
@@ -858,7 +869,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
                 f"round {r - 1} committed without a frontier counter — the "
                 "delta engine cannot maintain the running frontier size"
             )
-        n_frontier = int(prev_info["frontier"]) - n_selected + n_new
+        n_frontier = int(prev_info["frontier"]) - n_frontier_sel + n_new
         if cfg.compact_frontier_every and r % cfg.compact_frontier_every == 0:
             # fold: base rows carry the CURRENT stored-convention nb (next
             # offer round), so derived phase re-anchors and the exception

@@ -141,3 +141,33 @@ def test_retry_resume_exactness(spark, retry_pair):
     a = {r["url_hash"] for r in rnd.read_final_seen(st).collect()}
     b = {r["url_hash"] for r in rnd.read_final_seen(st3).collect()}
     assert a == b
+
+
+def test_retry_delta_engine_equality(spark):
+    """The retry queue is frontier-independent by design — prove it by
+    running the SAME retry universe under the DELTA frontier engine: the
+    chain's add/remove semantics never see a re-added hash, so crawl order
+    and counters still match the oracle bit-for-bit."""
+    cfg = CrawlConfig(fetch_retries=3, frontier_delta=True)
+    seeds = fixtures.seed_urls()
+    ckpt = CKPT + "-delta"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    st = rnd.init_crawl(
+        spark, spark.createDataFrame([(u,) for u in seeds], SEEDS), cfg, SPEC,
+        ckpt=ckpt,
+    )
+    infos = rnd.run_crawl(st, max_rounds=ROUNDS)
+    oracle = simulate(seeds, cfg, SPEC, max_rounds=ROUNDS)
+    got = [
+        (r["round"], r["seq"], r["url"])
+        for r in rnd.read_crawl_order(st).collect()
+    ]
+    assert got == oracle.crawl_order
+    assert [
+        (i["round"], i["selected"], i["new"], i["frontier"], i["retry_queue"])
+        for i in infos
+    ] == [
+        (o["round"], o["selected"], o["new"], o["frontier"], o["retry_queue"])
+        for o in oracle.rounds
+    ]
+    assert sum(i["retry_queue"] for i in infos) > 0

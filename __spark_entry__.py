@@ -928,15 +928,11 @@ def _q_recrawl_priority(spark, sf_dir):
     return sitemaps.recrawl_priority(parsed, now_day="2026-08-01")
 
 
-def _q_snapshot_change(spark, sf_dir):
-    """Observed per-host change rates between two crawl snapshots
-    (sitemaps.snapshot_change_stats) — the estimation half of the
-    Cho–Garcia-Molina refresh loop. Both snapshots derive
-    deterministically from the documents driver table: host = 'h'||
-    (doc_id%23); prev drops doc_id%7==0 ('added' later) and mutates text
-    on doc_id%5==0 ('changed'); curr drops doc_id%11==3 ('removed')."""
-    from crawlspark import sitemaps
-
+def _snapshot_pair(spark, sf_dir):
+    """The deterministic two-snapshot fixture shared by snapshot_change and
+    observed_recrawl: host = 'h'||(doc_id%23); prev drops doc_id%7==0
+    ('added' later) and mutates text on doc_id%5==0 ('changed'); curr drops
+    doc_id%11==3 ('removed')."""
     docs = _tpch(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(23)).cast("string")).alias("host"),
@@ -950,7 +946,53 @@ def _q_snapshot_change(spark, sf_dir):
         ).otherwise(F.col("text")).alias("text"),
     )
     curr = docs.filter(F.pmod(F.col("doc_id"), F.lit(11)) != 3)
+    return prev, curr
+
+
+def _q_snapshot_change(spark, sf_dir):
+    """Observed per-host change rates between two crawl snapshots
+    (sitemaps.snapshot_change_stats) — the estimation half of the
+    Cho–Garcia-Molina refresh loop, over the _snapshot_pair fixture."""
+    from crawlspark import sitemaps
+
+    prev, curr = _snapshot_pair(spark, sf_dir)
     return sitemaps.snapshot_change_stats(prev, curr)
+
+
+def _q_observed_recrawl(spark, sf_dir):
+    """The CLOSED refresh loop: snapshot_change_stats' observed per-host
+    changefreq class (estimation) replaces the sitemap hint as
+    recrawl_priority's changefreq input (allocation) — one lazy plan from
+    two snapshots to per-page recrawl scores. Hosts with no twice-seen
+    page fall back to 'weekly' (the protocol's default hint strength);
+    lastmod derives deterministically ('2026-07-' || doc_id%28+1)."""
+    from crawlspark import sitemaps
+
+    prev, curr = _snapshot_pair(spark, sf_dir)
+    stats = sitemaps.snapshot_change_stats(prev, curr).select(
+        "host", "changefreq_class"
+    )
+    pages = curr.select(
+        "host",
+        F.concat(
+            F.lit("http://"),
+            F.col("host"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("loc"),
+        F.concat(
+            F.lit("2026-07-"),
+            F.lpad((F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"), 2, "0"),
+        ).alias("lastmod_day"),
+    )
+    joined = pages.join(stats, "host", "left").select(
+        "host",
+        "loc",
+        "lastmod_day",
+        F.coalesce("changefreq_class", F.lit("weekly")).alias("changefreq"),
+        F.lit(0.5).alias("priority"),
+    )
+    return sitemaps.recrawl_priority(joined, now_day="2026-08-01")
 
 
 def _q_redirect_resolve(spark, sf_dir):
@@ -984,6 +1026,21 @@ def _q_redirect_resolve(spark, sf_dir):
         url(F.col("doc_id")).alias("src"), url(dst_id).alias("dst")
     )
     return graphops.redirect_resolve(edges, max_hops=8)
+
+
+def _q_content_fingerprints(spark, sf_dir):
+    """Content-seen dedup key (parse.content_record — the serialization
+    the crawl path hashes with xxhash64 for cfg.content_dedup), value-
+    checked via md5 so DuckDB can reproduce it byte-for-byte (chr(30)/
+    chr(31) separators, NULL→'' coalescing, offset stringification)."""
+    from crawlspark.parse import content_record
+
+    docs = _read(spark, sf_dir, "documents_spans.parquet").filter(
+        F.col("spans").isNotNull()
+    )
+    return docs.select(
+        "doc_id", F.md5(content_record(F.col("spans"))).alias("content_md5")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1053,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": _q_recrawl_priority,
         "snapshot_change": _q_snapshot_change,
         "redirect_resolve": _q_redirect_resolve,
+        "content_fingerprints": _q_content_fingerprints,
+        "observed_recrawl": _q_observed_recrawl,
     }
 
 
@@ -1820,23 +1879,85 @@ def _sitemap_oracle_sql() -> dict[str, str]:
             FROM scored
             """,
         "snapshot_change": _snapshot_change_oracle_sql(),
+        "observed_recrawl": _observed_recrawl_oracle_sql(),
     }
 
 
-def _snapshot_change_oracle_sql() -> str:
-    """DuckDB twin of sitemaps.snapshot_change_stats over the same
-    documents-derived snapshot pair as _q_snapshot_change. The class CASE
-    is generated from sitemaps.CHANGE_RATE_CLASSES so both engines share
-    one threshold table; the comparison uses the ROUNDED rate on both
-    sides (Spark compares the round(·,6) column too)."""
+def _change_class_case() -> str:
+    """The observed-rate → changefreq-class CASE, generated from
+    sitemaps.CHANGE_RATE_CLASSES so both engines share one threshold
+    table."""
     from crawlspark.sitemaps import CHANGE_RATE_CLASSES
 
     klass = " ".join(
         f"WHEN rate >= {lo} THEN '{name}'" for lo, name in CHANGE_RATE_CLASSES[:-1]
     )
     last = CHANGE_RATE_CLASSES[-1][1]
+    return f"""CASE WHEN n_changed + n_unchanged > 0
+                    THEN CASE {klass} ELSE '{last}' END
+               END"""
+
+
+def _snapshot_change_oracle_sql() -> str:
+    """DuckDB twin of sitemaps.snapshot_change_stats over the same
+    documents-derived snapshot pair as _q_snapshot_change (_snapshot_cte);
+    the comparison uses the ROUNDED rate on both sides (Spark compares the
+    round(·,6) column too)."""
     return f"""
-        WITH d AS (
+        WITH {_snapshot_cte()}
+        SELECT host, n_added, n_removed, n_changed, n_unchanged,
+               rate AS change_rate,
+               {_change_class_case()} AS changefreq_class
+        FROM rated
+        """
+
+
+def _observed_recrawl_oracle_sql() -> str:
+    """DuckDB twin of the closed refresh loop (_q_observed_recrawl): the
+    snapshot CTE's observed class joins the current snapshot's pages and
+    feeds the identical scoring arithmetic as the recrawl_priority
+    oracle."""
+    return f"""
+        WITH {_snapshot_cte()},
+        cls AS (
+          SELECT host, {_change_class_case()} AS changefreq_class FROM rated
+        ),
+        pages AS (
+          SELECT host,
+                 'http://' || host || '.example/d/' || CAST(k AS VARCHAR) AS loc,
+                 '2026-07-' || lpad(CAST(k % 28 + 1 AS VARCHAR), 2, '0')
+                   AS lastmod_day
+          FROM curr
+        ),
+        jp AS (
+          SELECT p.host, p.loc, p.lastmod_day,
+                 COALESCE(c.changefreq_class, 'weekly') AS changefreq,
+                 CAST(0.5 AS DOUBLE) AS priority
+          FROM pages p LEFT JOIN cls c ON p.host = c.host
+        ),
+        scored AS (
+          SELECT *,
+                 CASE changefreq
+                   WHEN 'always' THEN 0.5 WHEN 'hourly' THEN 0.5
+                   WHEN 'daily' THEN 1.0 WHEN 'weekly' THEN 7.0
+                   WHEN 'monthly' THEN 30.0 WHEN 'yearly' THEN 365.0
+                   ELSE 7.0 END AS itvl,
+                 CAST(date_diff('day', CAST(lastmod_day AS DATE), DATE '2026-08-01')
+                      AS DOUBLE) AS age
+          FROM jp
+        )
+        SELECT host, loc, lastmod_day, changefreq, priority,
+               ROUND(CASE WHEN changefreq = 'never' THEN 0.0
+                     ELSE priority *
+                          CASE WHEN lastmod_day IS NULL THEN 8.0
+                               ELSE LEAST(GREATEST(age, 0.0) / itvl, 8.0) END
+                     END, 6) AS recrawl_score
+        FROM scored
+        """
+
+
+def _snapshot_cte() -> str:
+    return """d AS (
           SELECT doc_id, 'h' || CAST(doc_id % 23 AS VARCHAR) AS host, text
           FROM documents
         ),
@@ -1870,14 +1991,7 @@ def _snapshot_change_oracle_sql() -> str:
                       THEN ROUND(n_changed * 1.0 / (n_changed + n_unchanged), 6)
                  END AS rate
           FROM agg
-        )
-        SELECT host, n_added, n_removed, n_changed, n_unchanged,
-               rate AS change_rate,
-               CASE WHEN n_changed + n_unchanged > 0
-                    THEN CASE {klass} ELSE '{last}' END
-               END AS changefreq_class
-        FROM rated
-        """
+        )"""
 
 
 def _linkgraph_prefix(dsp: str, dur: str) -> str:
@@ -2040,6 +2154,17 @@ def oracle_sql() -> dict[str, str]:
                    s.kind AS kind, s.media_ref AS media_ref, s.offset AS offset
             FROM (SELECT doc_id, generate_subscripts(ls,1) - 1 AS pos,
                          unnest(ls) AS s FROM f) t
+            """,
+        "content_fingerprints": f"""
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_transform(spans, s ->
+                       s.kind || chr(30) || coalesce(s.text, '') || chr(30)
+                       || coalesce(s.media_ref, '') || chr(30)
+                       || CAST(s.offset AS VARCHAR)),
+                     chr(31))) AS content_md5
+            FROM read_parquet('{dsp}')
+            WHERE spans IS NOT NULL
             """,
         "span_integrity": f"""
             WITH e AS (

@@ -101,24 +101,32 @@ def candidate_links(docs: DataFrame, parents: DataFrame) -> DataFrame:
     ).filter(F.col("url").isNotNull())
 
 
-def content_fingerprint(spans) -> F.Column:
-    """xxh64 content digest of a span array, pure JVM codegen (no UDF):
-    per-span `kind\\x1etext\\x1eref\\x1eoffset` records joined by \\x1f,
-    hashed with Spark's xxhash64. Bit-equal to the oracle's
-    fetch_spec.content_fingerprint_py — the content-seen dedup key
-    (Heritrix-style content digest), NOT a similarity hash: byte-identical
-    span arrays only."""
-    rec = F.transform(
-        spans,
-        lambda s: F.concat_ws(
-            "\x1e",
-            s["kind"],
-            F.coalesce(s["text"], F.lit("")),
-            F.coalesce(s["media_ref"], F.lit("")),
-            s["offset"].cast("string"),
+def content_record(spans) -> F.Column:
+    """Canonical serialization of a span array: per-span
+    `kind\\x1etext\\x1eref\\x1eoffset` records joined by \\x1f — the string
+    both content digests hash (and the DuckDB oracle reproduces with
+    list_transform/chr)."""
+    return F.concat_ws(
+        "\x1f",
+        F.transform(
+            spans,
+            lambda s: F.concat_ws(
+                "\x1e",
+                s["kind"],
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+                s["offset"].cast("string"),
+            ),
         ),
     )
-    return F.xxhash64(F.concat_ws("\x1f", rec))
+
+
+def content_fingerprint(spans) -> F.Column:
+    """xxh64 content digest of a span array, pure JVM codegen (no UDF).
+    Bit-equal to the oracle's fetch_spec.content_fingerprint_py — the
+    content-seen dedup key (Heritrix-style content digest), NOT a
+    similarity hash: byte-identical span arrays only."""
+    return F.xxhash64(content_record(spans))
 
 
 def redirect_edges(docs: DataFrame) -> DataFrame:

@@ -1043,6 +1043,15 @@ def _q_content_fingerprints(spark, sf_dir):
     )
 
 
+def _q_url_trap_stats(spark, sf_dir):
+    """Crawler-trap detection (textops.url_trap_stats): per-host URL-space
+    explosion signal over the crawl's own URL table — digit runs collapse
+    to a path template; trap_score = concrete URLs per distinct template."""
+    from crawlspark import textops
+
+    return textops.url_trap_stats(_read(spark, sf_dir, "doc_urls.parquet"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "link_extract": _q_link_extract,
@@ -1112,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": _q_redirect_resolve,
         "content_fingerprints": _q_content_fingerprints,
         "observed_recrawl": _q_observed_recrawl,
+        "url_trap_stats": _q_url_trap_stats,
     }
 
 
@@ -2078,6 +2088,7 @@ def _linkgraph_oracle_sql() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     dsp = _fx_path("documents_spans.parquet")
+    dur = _fx_path("doc_urls.parquet")
     fro = _fx_path("frontier.parquet")
     rob = _fx_path("robots.parquet")
     sel = _fx_path("selected.parquet")
@@ -2154,6 +2165,21 @@ def oracle_sql() -> dict[str, str]:
                    s.kind AS kind, s.media_ref AS media_ref, s.offset AS offset
             FROM (SELECT doc_id, generate_subscripts(ls,1) - 1 AS pos,
                          unnest(ls) AS s FROM f) t
+            """,
+        "url_trap_stats": f"""
+            WITH t AS (
+              SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                     regexp_replace(
+                       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                       '[0-9]+', 'N', 'g') AS template
+              FROM read_parquet('{dur}')
+            )
+            SELECT host,
+                   COUNT(*) AS n_urls,
+                   CAST(COUNT(DISTINCT template) AS BIGINT) AS n_templates,
+                   ROUND(COUNT(*) * 1.0 / COUNT(DISTINCT template), 6)
+                     AS trap_score
+            FROM t GROUP BY host
             """,
         "content_fingerprints": f"""
             SELECT doc_id,

@@ -1051,6 +1051,41 @@ def url_quality(urls: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def url_trap_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawler-trap detection per host (Heritrix/Nutch-style URL-space
+    explosion signal): collapse every digit run in the path to 'N' to get
+    a path TEMPLATE, then per host report how many concrete URLs share how
+    few templates. A calendar page, session-id space, or infinite
+    pagination shows up as trap_score = n_urls / n_templates >> 1 with a
+    dominant template — the hosts a frontier should rate-limit or cap.
+
+    Host/path come from one anchored regex each (identical expression in
+    the DuckDB oracle — no parse_url dependence), so the whole operator is
+    one codegen scan + one map-side-combinable aggregate. countDistinct is
+    exact for oracle comparability; at the 10^10-URL design point swap in
+    approx_count_distinct (the score needs one significant digit, not
+    exactness).
+    """
+    u = F.col(url_col)
+    host = F.regexp_extract(u, "^[a-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract(u, "^[a-z]+://[^/?#]+([^?#]*)", 1)
+    template = F.regexp_replace(path, "[0-9]+", "N")
+    per_url = urls.select(host.alias("host"), template.alias("template"))
+    return (
+        per_url.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("template").alias("n_templates"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_templates",
+            F.round(F.col("n_urls") / F.col("n_templates"), 6).alias("trap_score"),
+        )
+    )
+
+
 def url_quality_keep(url_col) -> "F.Column":
     """Boolean keep-predicate for the crawl path's opt-in pre-fetch URL
     filter (CrawlConfig.url_quality_filter): drop path-blocklisted URLs

@@ -530,3 +530,23 @@ def test_dup_ngram_coverage_no_corpus_broadcast(spark, docs):
     assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
     assert "ShuffledHashJoin" in plan
     assert "ReusedExchange" in plan
+
+
+def test_url_trap_stats_planted_trap(spark):
+    """A host with one digit-templated space (calendar-style trap) scores
+    n_urls/1; a diverse host scores ~1."""
+    from crawlspark import textops
+
+    rows = [(f"http://trap.example/cal/2026/{d}",) for d in range(1, 31)]
+    rows += [
+        ("http://ok.example/about",),
+        ("http://ok.example/products/7",),
+        ("http://ok.example/contact",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["host"]: r for r in textops.url_trap_stats(df).collect()}
+    assert got["trap.example"]["n_urls"] == 30
+    assert got["trap.example"]["n_templates"] == 1
+    assert got["trap.example"]["trap_score"] == 30.0
+    assert got["ok.example"]["n_templates"] == 3
+    assert got["ok.example"]["trap_score"] == 1.0

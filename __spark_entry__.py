@@ -985,7 +985,10 @@ def _q_observed_recrawl(spark, sf_dir):
             F.lpad((F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"), 2, "0"),
         ).alias("lastmod_day"),
     )
-    joined = pages.join(stats, "host", "left").select(
+    # per-host class table is bounded by the host universe (tiny next to
+    # pages) — broadcast it; the snapshot full-outer inside stats stays a
+    # shuffle join (both sides corpus-scale)
+    joined = pages.join(F.broadcast(stats), "host", "left").select(
         "host",
         "loc",
         "lastmod_day",

@@ -101,6 +101,17 @@ class CrawlConfig:
     # Queue rows compete in the normal scheduler (budgets, politeness,
     # capacity). 0 = off (default path bit-identical). Oracle-mirrored.
     fetch_retries: int = 0
+    # opt-in per-host page quota (Heritrix maxDocuments-style budget, as
+    # frontier ADMISSION control — the variant that bounds frontier growth
+    # at scale): once a host has accumulated this many seen pages, further
+    # discovered candidates for it are dropped (deterministically: each
+    # round's new rows rank per host by (priority, depth, url_hash, url)
+    # and only quota-remaining survive). Seeds are operator-chosen and
+    # exempt from the cap but count toward usage. State = append-only
+    # per-round (host_hash, n) deltas summed at read — O(hosts), two
+    # orders below the frontier. None = off (default path untouched).
+    # Oracle-mirrored; dropped count in lineage + round_info.
+    host_page_quota: int | None = None
     # opt-in host-priority boosts — the consumption side of the link-graph
     # signals (e.g. quantized offline PageRank from linkgraph.host_pagerank,
     # see linkgraph.pagerank_boosts): tuples of (host, boost), LOWER boost

@@ -239,6 +239,15 @@ def init_crawl(
         registry = BloomRegistry(fpp=cfg.bloom_fpp, initial_capacity=cfg.bloom_capacity_per_bucket)
         _absorb_new_into_registry(deduped, registry, store, 0, cfg)
         _write_bloom(spark, store, registry, 0)
+    if cfg.host_page_quota:
+        # seeds are exempt from the quota but count toward usage
+        store.write(
+            deduped.groupBy("host_hash").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            ),
+            0,
+            "host_counts",
+        )
     deduped.unpersist()
     store.commit_round(0, {"stage": "init", "frontier": n_frontier0})
     return CrawlState(
@@ -765,7 +774,36 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             cands.drop("maybe_seen"), store.read_bloom_chain(r - 1)
         )
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
-    new = cand_mod.split_new(cands, seen_df).persist(StorageLevel.MEMORY_AND_DISK)
+    new = cand_mod.split_new(cands, seen_df)
+    # --- per-host page quota (opt-in cfg.host_page_quota): frontier
+    # admission control — rank this round's new rows per host, keep only
+    # quota - used (used = chain-sum of the tiny per-host counts table) ---
+    obs_qd = None
+    if cfg.host_page_quota:
+        from pyspark.sql import Window as _W
+
+        quota = int(cfg.host_page_quota)
+        counts_prev = store.read_all("host_counts", r - 1)
+        wq = _W.partitionBy("host_hash").orderBy(
+            "priority", "crawl_depth", "url_hash", "url"
+        )
+        ranked = new.withColumn("_qrank", F.row_number().over(wq))
+        if counts_prev is not None:
+            used = counts_prev.groupBy("host_hash").agg(F.sum("n").alias("_used"))
+            ranked = ranked.join(used, "host_hash", "left")
+        else:
+            ranked = ranked.withColumn("_used", F.lit(None).cast("long"))
+        room = F.lit(quota) - F.coalesce(F.col("_used"), F.lit(0))
+        obs_qd = Observation()
+        new = (
+            ranked.observe(
+                obs_qd,
+                F.sum((F.col("_qrank") > room).cast("long")).alias("nd"),
+            )
+            .filter(F.col("_qrank") <= room)
+            .drop("_qrank", "_used")
+        )
+    new = new.persist(StorageLevel.MEMORY_AND_DISK)
     obs_new = Observation()
     store.write(
         # O2 layout: cluster the delta by bucket, sort by url_hash — keeps
@@ -779,6 +817,15 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         "seen_delta",
     )
     n_new = int(obs_new.get["n"])
+    n_quota_dropped = 0
+    if cfg.host_page_quota:
+        # the seen_delta write above already forced the observed pass
+        n_quota_dropped = int(obs_qd.get["nd"] or 0)
+        store.write(
+            new.groupBy("host_hash").agg(F.count(F.lit(1)).cast("long").alias("n")),
+            r,
+            "host_counts",
+        )
     _tick("parse_dedup")
     if relational_bloom:
         # O(batch) delta: this round's partial blobs land as parquet rows —
@@ -816,6 +863,10 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     if cfg.content_dedup:
         lineage = lineage.unionByName(
             metrics.scalar_lineage(spark, r, "content_dups", n_content_dups)
+        )
+    if cfg.host_page_quota:
+        lineage = lineage.unionByName(
+            metrics.scalar_lineage(spark, r, "quota_dropped", n_quota_dropped)
         )
     fetch_m = metrics.fetch_metrics(docs_r, r)
     lm_futures = []
@@ -922,6 +973,8 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         info_counters["content_dups"] = n_content_dups
     if cfg.fetch_retries:
         info_counters["retry_queue"] = n_retry_queue
+    if cfg.host_page_quota:
+        info_counters["quota_dropped"] = n_quota_dropped
     store.commit_round(r, info_counters)
     if _elig_cached is not None:
         _elig_cached.unpersist()

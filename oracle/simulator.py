@@ -98,6 +98,9 @@ def simulate(
     # (Entry, attempts so far) — separate from the frontier, exactly like
     # the engine's retry_queue table (round.py)
     retry_q: dict[int, tuple[Entry, int]] = {}
+    # per-host cumulative seen-page counts (cfg.host_page_quota): the
+    # engine's append-only host_counts table as one dict
+    host_counts: dict[int, int] = {}
 
     # --- init (SPEC.md Init) ------------------------------------------------
     # seed intake: explicit seeds at priority 0, plus (opt-in) sitemap
@@ -129,6 +132,10 @@ def simulate(
         ):
             cand[uh] = e
     frontier = dict(cand)
+    if cfg.host_page_quota:
+        # seeds are exempt from the cap but count toward usage
+        for e in frontier.values():
+            host_counts[e.host_hash] = host_counts.get(e.host_hash, 0) + 1
     res.seen = {uh: e.url for uh, e in frontier.items()}
     res.frontier_by_round[0] = sorted((replace(e) for e in frontier.values()), key=lambda e: (e.url_hash,))
 
@@ -249,6 +256,26 @@ def simulate(
         res.last_candidates_raw = raw_cands
         res.last_candidates = [replace(e) for e in new_cand.values()]
         new_entries = {uh: e for uh, e in new_cand.items() if uh not in res.seen}
+        # per-host page quota (opt-in): admission-rank this round's new
+        # entries per host, keep quota - used (round.py mirrors)
+        quota_dropped = 0
+        if cfg.host_page_quota:
+            by_h2: dict[int, list[Entry]] = {}
+            for e in new_entries.values():
+                by_h2.setdefault(e.host_hash, []).append(e)
+            kept: dict[int, Entry] = {}
+            for hh2, entries in by_h2.items():
+                entries.sort(
+                    key=lambda e: (e.priority, e.crawl_depth, e.url_hash, e.url)
+                )
+                room = cfg.host_page_quota - host_counts.get(hh2, 0)
+                for e in entries[: max(room, 0)]:
+                    kept[e.url_hash] = e
+                quota_dropped += max(len(entries) - max(room, 0), 0)
+                host_counts[hh2] = host_counts.get(hh2, 0) + min(
+                    max(room, 0), len(entries)
+                )
+            new_entries = kept
 
         # advance  [SPEC §10]
         sel_hashes = {e.url_hash for e, _ in selected}
@@ -308,6 +335,8 @@ def simulate(
             round_info["content_dups"] = content_dups
         if cfg.fetch_retries:
             round_info["retry_queue"] = len(retry_q)
+        if cfg.host_page_quota:
+            round_info["quota_dropped"] = quota_dropped
         res.rounds.append(round_info)
         if not frontier and not retry_q:
             break

@@ -50,6 +50,24 @@ def main(argv: list[str] | None = None) -> int:
             "--adaptive", action="store_true",
             help="adaptive per-host politeness (backoff from observed errors)",
         )
+        p.add_argument(
+            "--url-quality-filter", action="store_true",
+            help="pre-fetch URL policy filter (blocklist/media extensions)",
+        )
+        p.add_argument(
+            "--content-dedup", action="store_true",
+            help="content-seen dedup: duplicate-content docs never expand "
+            "the frontier",
+        )
+        p.add_argument(
+            "--fetch-retries", type=int, default=0,
+            help="retry transient (5xx) failures up to N attempts with "
+            "exponential backoff (0 = off)",
+        )
+        p.add_argument(
+            "--host-quota", type=int, default=0,
+            help="per-host page quota (frontier admission cap; 0 = off)",
+        )
     args = ap.parse_args(argv)
 
     from crawlspark import round as rnd
@@ -64,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
         max_fetches_per_host_per_round=getattr(args, "max_per_host", 4),
         round_capacity=(getattr(args, "capacity", 0) or None),
         adaptive_politeness=getattr(args, "adaptive", False),
+        url_quality_filter=getattr(args, "url_quality_filter", False),
+        content_dedup=getattr(args, "content_dedup", False),
+        fetch_retries=getattr(args, "fetch_retries", 0) or 0,
+        host_page_quota=(getattr(args, "host_quota", 0) or None),
     )
 
     if args.cmd == "status":

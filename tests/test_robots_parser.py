@@ -162,3 +162,57 @@ def test_allowed_batch_none_paths():
 
     got = allowed_batch(np.array([None, "/private/x"], dtype=object), [], ["/private"])
     assert list(got) == [allowed(None, [], ["/private"]), allowed("/private/x", [], ["/private"])]
+
+
+# ---------------------------------------------------------------------------
+# Sitemap: directive autodiscovery
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_directive_is_filewide_and_deduped():
+    from crawlspark.robots import parse_sitemap_urls
+
+    text = (
+        "Sitemap: http://a.example/sm.xml\n"   # before any group
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "sitemap: http://a.example/sm2.xml\n"  # inside a group, lowercase
+        "User-agent: other\n"
+        "Sitemap: http://a.example/sm.xml\n"   # duplicate: dropped
+        "Sitemap: http://a.example/sm3.xml # trailing comment\n"
+    )
+    assert parse_sitemap_urls(text) == [
+        "http://a.example/sm.xml",
+        "http://a.example/sm2.xml",
+        "http://a.example/sm3.xml",
+    ]
+    assert parse_sitemap_urls(None) == []
+    assert parse_sitemap_urls("User-agent: *\nDisallow:\n") == []
+
+
+def test_sitemap_render_parse_roundtrip_does_not_disturb_rules():
+    from crawlspark.robots import (
+        parse_robots_txt,
+        parse_sitemap_urls,
+        render_robots_txt,
+    )
+
+    text = render_robots_txt(
+        ["/p/9x"], ["/p/9", "/private"], 2,
+        sitemaps=["http://h.example/sitemap.xml"],
+    )
+    assert parse_sitemap_urls(text) == ["http://h.example/sitemap.xml"]
+    # the added file-wide directive must not perturb the group parse
+    assert parse_robots_txt(text) == (["/p/9x"], ["/p/9", "/private"], 2)
+
+
+def test_discover_sitemaps_matches_pure_python(spark):
+    from crawlspark.robots import discover_sitemaps, sitemap_urls_for_host
+
+    hosts = [f"h{k}.example" for k in range(30)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {(r["host"], r["sitemap_url"]) for r in discover_sitemaps(df).collect()}
+    exp = {(h, u) for h in hosts for u in sitemap_urls_for_host(h)}
+    assert got == exp
+    assert got, "fixture must advertise at least one sitemap"
+    assert len({h for h, _ in got}) < len(hosts), "not every host advertises"

@@ -31,7 +31,7 @@ def _spark():
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="crawlspark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("init", "run", "resume", "status"):
+    for name in ("init", "run", "resume", "status", "vacuum"):
         p = sub.add_parser(name)
         p.add_argument("--ckpt", required=True)
         if name == "init":
@@ -91,6 +91,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "status":
         store = SnapshotStore(spark, args.ckpt)
         print(json.dumps(store.read_manifest(), indent=1))
+        return 0
+    if args.cmd == "vacuum":
+        store = SnapshotStore(spark, args.ckpt)
+        print(json.dumps(store.vacuum()))
         return 0
     if args.cmd == "init":
         seeds_df = spark.read.text(args.seeds).withColumnRenamed("value", "url")

@@ -302,6 +302,77 @@ class SnapshotStore:
             return None
         return self.spark.read.parquet(*dirs)
 
+    def vacuum(self, upto_round: int | None = None) -> dict:
+        """Expire superseded STATE directories (the parquet-store analog of
+        Iceberg's expire_snapshots): everything resume/continuation reads
+        survives, everything a later base/snapshot supersedes is deleted.
+        Output tables (documents, crawl_order, lineage, metrics) and the
+        tiny unbounded-history chains (content_seen, host_counts) are never
+        touched. Trades time travel (read_seen at pre-vacuum rounds) for
+        space, exactly like snapshot expiry.
+
+        Drop rules, each anchored on a manifest-recorded supersession:
+        - seen_delta at r ≤ last compaction c (seen_full at c supersedes);
+          older seen_full snapshots below c likewise;
+        - frontier-family dirs below the last frontier base (the base
+          folds the chain); with NO recorded base (pure stored engine),
+          full `frontier` dirs below the last committed round (resume
+          reads only the last);
+        - bloom-family dirs below the last bloom base (relational mode);
+          in broadcast mode `bloom` snapshots below the last round;
+        - retry_queue below the last round (whole-rewrite per round).
+        """
+        m = self.read_manifest()
+        last = max(m.get("rounds", [0]) or [0])
+        upto = last if upto_round is None else min(upto_round, last)
+        removed: list[str] = []
+
+        def _drop(r: int, table: str) -> None:
+            d = self._dir(r, table)
+            if os.path.exists(d):
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(f"round={r}/{table}")
+
+        c = self.last_compaction(upto)
+        if c is not None:
+            for r in range(0, c + 1):
+                _drop(r, "seen_delta")
+                if r < c:
+                    _drop(r, "seen_full")
+        fb = [b for b in self.frontier_bases() if b <= upto]
+        if fb:
+            b = max(fb)
+            for r in range(0, b):
+                for t in (
+                    "frontier",
+                    "frontier_delta_rows",
+                    "frontier_additions",
+                    "frontier_removals",
+                    "frontier_deferrals",
+                ):
+                    _drop(r, t)
+        else:
+            for r in range(0, upto):
+                _drop(r, "frontier")
+        bb = [b for b in self.bloom_bases() if b <= upto]
+        if bb:
+            for r in range(0, max(bb)):
+                _drop(r, "bloom")
+                _drop(r, "bloom_delta")
+        else:
+            for r in range(0, upto):
+                _drop(r, "bloom")
+        for r in range(0, upto):
+            _drop(r, "retry_queue")
+            _drop(r, "host_state")
+        m = self.read_manifest()
+        m["vacuumed_upto"] = upto
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+        return {"upto": upto, "removed": removed}
+
     def drop_rounds_after(self, round_: int) -> None:
         """Used by resume tests to simulate a crash after `round_`."""
         m = self.read_manifest()

@@ -41,3 +41,35 @@ def test_shuffle_partition_invariance(spark):
     a = _crawl_outputs(spark, "/tmp/crawlspark-inv-a", 4)
     b = _crawl_outputs(spark, "/tmp/crawlspark-inv-b", 17)
     assert a == b
+
+
+def test_round5_query_invariance(spark):
+    """Round-5 queries are bit-identical under different shuffle-partition
+    counts (sorted-row comparison at sf0.001): path-doubling resolution,
+    snapshot stats, the closed refresh loop, trap detection, fingerprints."""
+    import __spark_entry__ as entry
+
+    names = (
+        "redirect_resolve",
+        "snapshot_change",
+        "observed_recrawl",
+        "url_trap_stats",
+        "content_fingerprints",
+    )
+    q = entry.queries()
+
+    def run_all(parts):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            return {
+                n: sorted(map(tuple, q[n](spark, "/root/testdata/sf0.001").collect()))
+                for n in names
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    a = run_all(4)
+    b = run_all(17)
+    for n in names:
+        assert a[n] == b[n], n
+        assert a[n], f"{n} returned no rows — invariance check is vacuous"

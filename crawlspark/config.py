@@ -112,6 +112,14 @@ class CrawlConfig:
     # orders below the frontier. None = off (default path untouched).
     # Oracle-mirrored; dropped count in lineage + round_info.
     host_page_quota: int | None = None
+    # opt-in priority aging (starvation freedom): every K rounds a pending
+    # URL has waited since discovery improves its EFFECTIVE scheduling
+    # priority by 1 (lower = sooner), so budget-capped backlogs eventually
+    # drain oldest-first instead of starving low-priority rows forever.
+    # Transient `_aged` column in the scheduler only — the frontier stores
+    # the base priority, so flipping the flag mid-crawl is resume-safe.
+    # None = off (scheduling order byte-identical). Oracle-mirrored.
+    priority_aging_every: int | None = None
     # opt-in host-priority boosts — the consumption side of the link-graph
     # signals (e.g. quantized offline PageRank from linkgraph.host_pagerank,
     # see linkgraph.pagerank_boosts): tuples of (host, boost), LOWER boost

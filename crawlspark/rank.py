@@ -23,9 +23,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .config import CrawlConfig
 
-def _rank_order():
+def _rank_order(df: "DataFrame | None" = None):
+    # `_aged` is the transient aging-adjusted priority (cfg.priority_aging
+    # — attached in round.py, never persisted); when present it replaces
+    # the base priority in the scheduling order only
+    p = "_aged" if df is not None and "_aged" in df.columns else "priority"
     return [
-        F.col("priority").asc(),
+        F.col(p).asc(),
         F.col("crawl_depth").asc(),
         F.col("url_hash").asc(),
         F.col("url").asc(),
@@ -173,17 +177,17 @@ def select_batch(
     )
 
     # W1 stage 1: heavy window split by salt; keep full host budget per salt
-    w1 = Window.partitionBy("host_hash", "salt").orderBy(*_rank_order())
+    w1 = Window.partitionBy("host_hash", "salt").orderBy(*_rank_order(df))
     survivors = df.withColumn("_r1", F.row_number().over(w1)).filter(
         F.col("_r1") <= F.col("host_budget")
     )
 
     # W1 stage 2: exact per-host rank over ≤ n_salts·B_h survivors; W2 cutoff
-    w2 = Window.partitionBy("host_hash").orderBy(*_rank_order())
+    w2 = Window.partitionBy("host_hash").orderBy(*_rank_order(df))
     selected = (
         survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= F.col("host_budget"))
-        .drop("_r1", "n_salts", "host_budget", "pending")
+        .drop("_r1", "n_salts", "host_budget", "pending", "_aged")
     )
     return selected
 

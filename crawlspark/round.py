@@ -610,6 +610,20 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     # attach_boosts: opt-in host-priority boosts (config.host_boosts) lead
     # the emission sort so boosted hosts win the capacity cap; the
     # transient column is dropped before anything persists.
+    if cfg.priority_aging_every:
+        # starvation freedom (config.priority_aging_every): transient
+        # effective priority for the scheduling order only — the stored
+        # base priority never changes
+        sched_input = sched_input.withColumn(
+            "_aged",
+            (
+                F.col("priority")
+                - F.floor(
+                    (F.lit(r) - F.col("discovered_round"))
+                    / F.lit(int(cfg.priority_aging_every))
+                )
+            ).cast("int"),
+        )
     selected = rank.attach_boosts(rank.select_batch(sched_input, st.robots_df, cfg), cfg)
     seq_df = rank.with_seq(
         rank.cap_round(selected, cfg), scalable=cfg.round_capacity is None

@@ -152,8 +152,18 @@ def simulate(
         for e in eligible:
             by_host.setdefault(e.host_hash, []).append(e)
         selected: list[tuple[Entry, int]] = []  # (entry, per-host rank)
+        if cfg.priority_aging_every:
+            # starvation freedom: effective priority improves by 1 per
+            # aging interval waited since discovery (round.py mirrors)
+            k_age = cfg.priority_aging_every
+
+            def _prio(e: Entry) -> int:
+                return e.priority - (r - e.discovered_round) // k_age
+        else:
+            def _prio(e: Entry) -> int:
+                return e.priority
         for hh, entries in by_host.items():
-            entries.sort(key=lambda e: (e.priority, e.crawl_depth, e.url_hash, e.url))
+            entries.sort(key=lambda e: (_prio(e), e.crawl_depth, e.url_hash, e.url))
             b, _ = _host_budget(entries[0].host, cfg)
             if cfg.adaptive_politeness:
                 b = max(1, b // mult.get(hh, 1))

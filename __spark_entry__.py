@@ -1046,6 +1046,15 @@ def _q_content_fingerprints(spark, sf_dir):
     )
 
 
+def _q_domain_mix(spark, sf_dir):
+    """Per-registered-domain URL accounting (textops.domain_mix): eTLD+1
+    grouping over the crawl's URL table; the DuckDB twin shares the
+    MULTI_SUFFIXES constant so both engines apply one suffix table."""
+    from crawlspark import textops
+
+    return textops.domain_mix(_read(spark, sf_dir, "doc_urls.parquet"))
+
+
 def _q_url_trap_stats(spark, sf_dir):
     """Crawler-trap detection (textops.url_trap_stats): per-host URL-space
     explosion signal over the crawl's own URL table — digit runs collapse
@@ -1125,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_fingerprints": _q_content_fingerprints,
         "observed_recrawl": _q_observed_recrawl,
         "url_trap_stats": _q_url_trap_stats,
+        "domain_mix": _q_domain_mix,
     }
 
 
@@ -1969,6 +1979,31 @@ def _observed_recrawl_oracle_sql() -> str:
         """
 
 
+def _domain_mix_oracle_sql(dur: str) -> str:
+    """DuckDB twin of textops.domain_mix — the eTLD+1 CASE is generated
+    from textops.MULTI_SUFFIXES so both engines share one suffix table."""
+    from crawlspark.textops import MULTI_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return f"""
+        WITH h AS (
+          SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+          FROM read_parquet('{dur}')
+        ),
+        d AS (
+          SELECT host,
+                 CASE WHEN len(p) <= 2 THEN host
+                      WHEN lower(p[-2] || '.' || p[-1]) IN ({suffixes})
+                        THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+                      ELSE p[-2] || '.' || p[-1] END AS domain
+          FROM (SELECT host, string_split(host, '.') AS p FROM h)
+        )
+        SELECT domain, COUNT(*) AS n_urls,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM d GROUP BY domain
+        """
+
+
 def _snapshot_cte() -> str:
     return """d AS (
           SELECT doc_id, 'h' || CAST(doc_id % 23 AS VARCHAR) AS host, text
@@ -2169,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, generate_subscripts(ls,1) - 1 AS pos,
                          unnest(ls) AS s FROM f) t
             """,
+        "domain_mix": _domain_mix_oracle_sql(dur),
         "url_trap_stats": f"""
             WITH t AS (
               SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,

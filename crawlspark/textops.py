@@ -1051,6 +1051,68 @@ def url_quality(urls: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# Multi-label public suffixes (a small embedded subset of the public
+# suffix list — the high-traffic two-label registries; production swaps in
+# the full publicsuffix.org snapshot, the expression shape is unchanged).
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.kr", "or.kr", "com.mx", "com.ar", "com.tr", "com.tw",
+    "co.za", "co.nz", "com.sg", "com.hk",
+)
+
+
+def registered_domain(host_col) -> "F.Column":
+    """eTLD+1 (registered domain) of a hostname — the grouping key for
+    per-domain corpus mixing, quotas, and dedup attribution: the last two
+    labels, or the last THREE when the final two form a multi-label public
+    suffix (MULTI_SUFFIXES). Pure codegen (split + element_at + concat):
+    no UDF, no shuffle. IP literals and single-label hosts pass through
+    unchanged."""
+    parts = F.split(host_col, "[.]")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    return (
+        F.when(n <= 2, host_col)
+        .when((n >= 3) & F.lower(last2).isin(*MULTI_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def registered_domain_py(host: str) -> str:
+    """Pure-Python twin of registered_domain (oracle/test use)."""
+    parts = host.split(".")
+    if len(parts) <= 2:
+        return host
+    if ".".join(parts[-2:]).lower() in MULTI_SUFFIXES:
+        return ".".join(parts[-3:])
+    return ".".join(parts[-2:])
+
+
+def domain_mix(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registered-domain URL accounting — the domain-level version of
+    corpus_mix (training mixtures are specified per eTLD+1, not per
+    vhost): (domain, n_urls, n_hosts). One codegen scan + one map-side-
+    combinable aggregate with an exact distinct (swap in
+    approx_count_distinct at the 10^10 tier)."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, "^[a-z]+://([^/?#]+)", 1)
+    per = urls.select(host.alias("host")).withColumn(
+        "domain", registered_domain(F.col("host"))
+    )
+    return per.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
 def url_trap_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
     """Crawler-trap detection per host (Heritrix/Nutch-style URL-space
     explosion signal): collapse every digit run in the path to 'N' to get

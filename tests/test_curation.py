@@ -550,3 +550,28 @@ def test_url_trap_stats_planted_trap(spark):
     assert got["trap.example"]["trap_score"] == 30.0
     assert got["ok.example"]["n_templates"] == 3
     assert got["ok.example"]["trap_score"] == 1.0
+
+
+def test_registered_domain_suffix_handling(spark):
+    from crawlspark import textops
+    from pyspark.sql import functions as F
+
+    cases = {
+        "www.example.co.uk": "example.co.uk",
+        "a.b.news.com.au": "news.com.au",
+        "deep.sub.example.com": "example.com",
+        "example.com": "example.com",
+        "localhost": "localhost",
+        "h3.example": "h3.example",
+        "UPPER.Example.CO.UK": "Example.CO.UK",  # case-insensitive suffix match
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", textops.registered_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got == cases
+    for h, want in cases.items():
+        assert textops.registered_domain_py(h) == want

@@ -4,8 +4,8 @@ round job at local[N] and local[4N], verify the determinism digests match,
 compute scaling efficiency, and rewrite BENCH/BASELINE.md.
 
 Usage:  python bench/scaling.py [--rounds 2] [--tier scale] [--pair 2,8]
-Env:    CRAWLSPARK_SCALE_HOSTS (default 1000000),
-        CRAWLSPARK_SCALE_SPANS (default 16)
+Env:    CRAWLSPARK_SCALE_HOSTS (default 250000; the headline 1M-host
+        tier sets 1000000), CRAWLSPARK_SCALE_SPANS (default 8)
 
 Config notes (same at BOTH levels, so the comparison stays fair):
 - AQE OFF: its per-shuffle driver re-optimization is pure serial latency at
@@ -69,8 +69,15 @@ def run(cores: int, zpath: str, rounds: int, tier: str) -> dict:
 
 
 def write_report(rn: dict, r4n: dict, eff: float, extra_rows: str = "") -> None:
+    # PREPEND the fresh pair to BENCH/BASELINE.md — the file carries
+    # hand-curated measurement history below, which a plain rewrite would
+    # destroy (it did, once; the history was restored from git)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    existing = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read()
     det_ok = (
         rn["crawl_order_digest"] == r4n["crawl_order_digest"]
         and rn["seen_digest"] == r4n["seen_digest"]
@@ -101,6 +108,8 @@ at two parallelism levels on identical input. Produced by bench/scaling.py.
 set at both levels is what makes the throughput comparison
 apples-to-apples (SURVEY.md §6.2.5).
 {extra_rows}""")
+        if existing:
+            f.write("\n---\n\n## Prior content (preserved)\n\n" + existing)
     print(f"wrote {path}; efficiency={eff:.3f}; determinism={'PASS' if det_ok else 'FAIL'}")
 
 

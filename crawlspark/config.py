@@ -132,6 +132,28 @@ class CrawlConfig:
     # boost — flipping the flag mid-crawl is safe on resume. OFF (None)
     # keeps the crawl bit-equal to the boost-free oracle.
     host_boosts: tuple[tuple[str, int], ...] | None = None
+    # opt-in closed-loop recrawl scheduling (Cho & Garcia-Molina refresh,
+    # the OBSERVED-signal variant — sitemaps.recrawl_due): the engine keeps
+    # a per-URL recrawl_state table (last_fetch_round, content fingerprint,
+    # accumulated changed/unchanged refetch pairs) updated from every
+    # round's fetches; every `recrawl_every` rounds, already-fetched URLs
+    # whose age crosses their host's observed-changefreq interval are
+    # RE-ENQUEUED into the frontier (original priority/depth,
+    # discovered_round = the re-enqueue round) and then ride the normal
+    # scheduler — politeness, budgets, capacity, retries — like any other
+    # row. Seen set, bloom, and host quotas are untouched (the page was
+    # already seen; a refresh is not a discovery). Interval = uniform
+    # allocation (the paper's conclusion): recrawl_interval rounds scaled
+    # by the host's CHANGE_RATE_CLASSES class in ×4 fixed-point integer
+    # math (daily ½×, weekly 1×, monthly 4×, yearly 8×; no-evidence
+    # default weekly) — cross-engine exact, no float thresholds on ages.
+    # A URL re-enqueued but not yet successfully refetched is never
+    # double-enqueued (enqueued_round latch, cleared on the next 200).
+    # None = off: the default crawl is bit-identical and writes no state.
+    # Oracle-mirrored (oracle/simulator.py); re-enqueued count lands in
+    # round_info + lineage as stage='recrawled'.
+    recrawl_every: int | None = None
+    recrawl_interval: int = 4
     # adaptive politeness (heroshi-style backoff from observed server
     # behavior): a host whose fetched docs this round are >=50% errors gets
     # its delay multiplier doubled (budget shrinks, deferral stretches); an
@@ -212,6 +234,10 @@ class CrawlConfig:
             )
         if self.frontier_delta_min_rows < 0:
             raise ValueError("frontier_delta_min_rows must be >= 0")
+        if self.recrawl_every is not None and self.recrawl_every < 1:
+            raise ValueError("recrawl_every must be >= 1 (None = off)")
+        if self.recrawl_interval < 1:
+            raise ValueError("recrawl_interval must be >= 1")
         if self.host_boosts is not None:
             for pair in self.host_boosts:
                 if (

@@ -60,6 +60,15 @@ class FetchSpec:
     # exists for. 0 = off (byte-identical to the pre-flag universe).
     mirror_mod: int = 0
     mirror_space: int = 200
+    # opt-in content churn: when > 0, ~1/change_mod of status-200 URLs
+    # gain a round-keyed suffix on span 0's text — refetching a churning
+    # URL in a different round yields a different content fingerprint
+    # (a `changed` pair for CrawlConfig.recrawl_every's observed-class
+    # estimator) while static URLs stay byte-identical. Only text mutates:
+    # media_refs (and hence link extraction / crawl expansion) are
+    # untouched. Round-independent callers (round_=None) never see churn.
+    # 0 = off (byte-identical to the pre-flag universe).
+    change_mod: int = 0
     # opt-in transient fetch errors: when > 0, ~1/error_mod of (url, round)
     # draws return 503 — the SAME url can fail in one round and succeed in
     # a later one, which is exactly what CrawlConfig.fetch_retries
@@ -178,7 +187,16 @@ def simulate_fetch(
         return status, None
     seed = mirror_seed_of(url, spec) or url
     n = 1 + hash_str(seed + "#n") % spec.max_spans
-    return status, [span_at(seed, j, spec) for j in range(n)]
+    spans = [span_at(seed, j, spec) for j in range(n)]
+    if (
+        spec.change_mod
+        and round_ is not None
+        and hash_str(seed + "#chg") % spec.change_mod == 0
+    ):
+        sp = dict(spans[0])
+        sp["text"] = (sp["text"] or "") + f" v{round_}"
+        spans = [sp] + spans[1:]
+    return status, spans
 
 
 def doc_id_of(url_hash: int) -> str:

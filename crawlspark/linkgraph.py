@@ -149,14 +149,90 @@ def pagerank_boosts(
 
     Driver-side by design: the config tuple is the policy hand-off for
     host sets that fit the driver (≲10^6). At the 10^10-URL design point
-    skip this helper and keep the boost table relational — persist
-    ``host_pagerank``'s output and broadcast-join it where
-    ``rank.attach_boosts`` builds its frame (same join, stored source)."""
+    use ``pagerank_boosts_df`` below — the same ntile tiers as a lazy
+    (host_hash, boost) DataFrame, no collect, no global window — and pass
+    it to ``rank.attach_boosts(..., boosts_df=...)``."""
     w = Window.orderBy(F.col("pr").desc(), F.col("host").asc())
     tiers = ranks.select("host", F.ntile(n_tiers).over(w).alias("tier"))
     return tuple(
         (r["host"], int(r["tier"]) - n_tiers) for r in tiers.collect()
     )
+
+
+def pagerank_boosts_df(
+    ranks: DataFrame,
+    n_tiers: int = 4,
+    n_buckets: int = 32,
+    key: str = "host_hash",
+) -> DataFrame:
+    """Relational twin of ``pagerank_boosts`` for host sets that do NOT fit
+    the driver (the 10^8–10^9-host tier): a lazy ``(host_hash, boost)``
+    DataFrame with EXACTLY the ntile-tier semantics of the tuple path —
+    feed it to ``rank.attach_boosts(..., boosts_df=...)`` (or hang it on
+    ``CrawlState.boosts_df``) instead of collecting a config tuple.
+
+    Never collects and has no global window. The global ntile is
+    decomposed as: (1) one broadcast 1-row aggregate carrying N and
+    ``n_buckets-1`` percentile_approx boundaries of pr; (2) rows bucket by
+    "how many boundaries ≥ my pr" — monotone in descending pr and
+    tie-consistent, so every (pr) tie-group lands wholly in one bucket and
+    bucket order extends the global (pr desc, host asc) order; (3)
+    row_number per bucket (the only sort, ≈N/n_buckets rows per
+    partition); (4) bucket sizes → running offsets (a bucket-cardinality
+    window over ≤n_buckets rows, same metadata-aggregate class as the
+    crawl path's 1-row crossJoins) broadcast back, giving the exact global
+    rank; (5) the closed-form ntile tier from (rank, N, n_tiers). Digest
+    equality with the tuple path is by construction, asserted at sandbox
+    scale by tests/test_host_boosts.py.
+
+    Hosts map to ``host_hash`` via Spark xxhash64 — the same function the
+    scheduler keys on (ingest.py F2; ≡ xxh64.hash_str bit-for-bit).
+    ``key="host"`` keeps the host string instead (the DuckDB oracle twin
+    compares tiers on the string; DuckDB has no xxhash64)."""
+    agg = ranks.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx(
+            "pr",
+            [i / n_buckets for i in range(1, n_buckets)],
+            1_000_000,
+        ).alias("_bounds"),
+    )
+    b = ranks.crossJoin(F.broadcast(agg)).withColumn(
+        "_bucket", F.expr("size(filter(_bounds, x -> x >= pr))")
+    )
+    wb = Window.partitionBy("_bucket").orderBy(
+        F.col("pr").desc(), F.col("host").asc()
+    )
+    local = b.withColumn("_lr", F.row_number().over(wb))
+    sizes = local.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_sz"))
+    wo = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "_bucket", F.coalesce(F.sum("_sz").over(wo), F.lit(0)).alias("_off")
+    )
+    g = local.join(F.broadcast(offs), "_bucket").withColumn(
+        "_rank", (F.col("_off") + F.col("_lr")).cast("long")
+    )
+    # exact SQL ntile in pure integer arithmetic (no double division — a
+    # rank/(q+1) float would wobble past 2^53): the first (N % k) tiers
+    # hold floor(N/k)+1 rows each; ceil(a/b) spelled (a+b-1) div b. The
+    # ELSE branch is unreachable when N < k (q = 0), so its div-by-q is
+    # never evaluated.
+    k = int(n_tiers)
+    tier = F.expr(
+        f"CASE WHEN _rank <= (_n % {k}) * (_n div {k} + 1)"
+        f" THEN (_rank + _n div {k}) div (_n div {k} + 1)"
+        f" ELSE _n % {k} + (_rank - (_n % {k}) * (_n div {k} + 1)"
+        f" + _n div {k} - 1) div (_n div {k}) END"
+    )
+    keycol = (
+        F.xxhash64("host").alias("host_hash")
+        if key == "host_hash"
+        else F.col("host")
+    )
+    return g.select(keycol, (tier - n_tiers).cast("int").alias("boost"))
 
 
 def anchor_stats(docs: DataFrame) -> DataFrame:

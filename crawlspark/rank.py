@@ -195,21 +195,37 @@ def select_batch(
 EMIT_ORDER = ("host_hash", "rank", "url")
 
 
-def attach_boosts(selected: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Opt-in host-priority boosts (config.host_boosts — e.g. quantized
-    offline PageRank): attach a transient `boost` column via one broadcast
-    join keyed on host_hash (the selected batch dropped `host` for shuffle
-    hygiene; xxh64.hash_str ≡ Spark xxhash64 maps the config's host names
-    driver-side). Unlisted hosts get boost 0. No-op (no column, identical
-    plan) when the feature is off, so the default crawl stays bit-equal."""
-    if not cfg.host_boosts:
-        return selected
-    from .xxh64 import hash_str
+def attach_boosts(
+    selected: DataFrame, cfg: CrawlConfig, boosts_df: DataFrame | None = None
+) -> DataFrame:
+    """Opt-in host-priority boosts: attach a transient `boost` column via
+    one broadcast join keyed on host_hash. Unlisted hosts get boost 0.
+    No-op (no column, identical plan) when the feature is off, so the
+    default crawl stays bit-equal.
 
-    spark = selected.sparkSession
-    rows = [(hash_str(h), int(b)) for h, b in cfg.host_boosts]
-    bdf = spark.createDataFrame(rows, "host_hash long, boost int")
-    return selected.join(F.broadcast(bdf), "host_hash", "left").withColumn(
+    Two boost sources, identical join and transient-column semantics:
+    - ``cfg.host_boosts`` tuple (e.g. linkgraph.pagerank_boosts) — the
+      driver-side policy hand-off for host sets ≲10^6; xxh64.hash_str ≡
+      Spark xxhash64 maps the config's host names driver-side.
+    - ``boosts_df`` — a relational (host_hash:long, boost:int) frame
+      (e.g. linkgraph.pagerank_boosts_df, or any stored table) that never
+      touches the driver; the 10^8+-host path. Takes precedence over the
+      tuple when both are set. tests/test_host_boosts.py asserts the two
+      sources are crawl-order digest-equal for the same tiers."""
+    if boosts_df is None and not cfg.host_boosts:
+        return selected
+    if boosts_df is None:
+        from .xxh64 import hash_str
+
+        spark = selected.sparkSession
+        rows = [(hash_str(h), int(b)) for h, b in cfg.host_boosts]
+        boosts_df = spark.createDataFrame(rows, "host_hash long, boost int")
+    else:
+        boosts_df = boosts_df.select(
+            F.col("host_hash").cast("long").alias("host_hash"),
+            F.col("boost").cast("int").alias("boost"),
+        )
+    return selected.join(F.broadcast(boosts_df), "host_hash", "left").withColumn(
         "boost", F.coalesce(F.col("boost"), F.lit(0)).cast("int")
     )
 

@@ -63,6 +63,11 @@ class CrawlState:
     # relational bloom mode: cached {bucket: (m,k)} of the latest base —
     # P rows of ints (metadata only, never blobs); refreshed on compaction
     bloom_params_cache: dict | None = None
+    # relational host-boost source (host_hash, boost), e.g.
+    # linkgraph.pagerank_boosts_df — the 10^8+-host alternative to the
+    # cfg.host_boosts tuple; broadcast-joined by rank.attach_boosts each
+    # round, takes precedence over the tuple when both are set
+    boosts_df: DataFrame | None = None
 
     def __post_init__(self):
         if self.bloom_delta_bcasts is None:
@@ -624,7 +629,11 @@ def crawl_round(st: CrawlState, r: int) -> dict:
                 )
             ).cast("int"),
         )
-    selected = rank.attach_boosts(rank.select_batch(sched_input, st.robots_df, cfg), cfg)
+    selected = rank.attach_boosts(
+        rank.select_batch(sched_input, st.robots_df, cfg),
+        cfg,
+        boosts_df=st.boosts_df,
+    )
     seq_df = rank.with_seq(
         rank.cap_round(selected, cfg), scalable=cfg.round_capacity is None
     )
@@ -751,6 +760,83 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         )
         n_retry_queue = int(obs_rq.get["n"])
         _tick("retry_queue")
+
+    # --- closed-loop recrawl (opt-in cfg.recrawl_every): fold this round's
+    # fetch outcomes into recrawl_state (sitemaps.recrawl_state_merge); on
+    # cadence rounds latch due rows (sitemaps.recrawl_due) and re-enqueue
+    # them at the frontier advance below. Exactly-once discipline: the
+    # re-enqueued set is re-READ from the just-written state
+    # (enqueued_round == r), same pattern as content_seen. Seen/bloom/
+    # quota are deliberately untouched — a refresh is not a discovery. ----
+    n_recrawled = 0
+    recrawl_rows = None
+    if cfg.recrawl_every:
+        from .parse import content_fingerprint
+        from . import sitemaps as _sm
+
+        prev_rstate = (
+            store.read(r - 1, "recrawl_state")
+            if store.exists(r - 1, "recrawl_state")
+            else None
+        )
+        fetched_now = docs_r.select(
+            "url",
+            "status",
+            F.when(
+                F.col("status") == 200, content_fingerprint(F.col("spans"))
+            ).alias("fingerprint"),
+        ).join(
+            # the scheduler batch drops `host` for shuffle hygiene; on the
+            # canonical URL parse_url(HOST) IS the stored host (the same
+            # equivalence the salted scheduler already keys on, rank.py)
+            ordered.select(
+                "url",
+                "url_hash",
+                F.expr("parse_url(url, 'HOST')").alias("host"),
+                "host_hash",
+                "priority",
+                "crawl_depth",
+            ),
+            "url",
+        )
+        rstate = _sm.recrawl_state_merge(prev_rstate, fetched_now, r)
+        obs_rc = None
+        if r % cfg.recrawl_every == 0:
+            d = _sm.recrawl_due(rstate, r, cfg.recrawl_interval)
+            obs_rc = Observation()
+            rstate = d.withColumn(
+                "enqueued_round",
+                F.when(F.col("due"), F.lit(r))
+                .otherwise(F.col("enqueued_round"))
+                .cast("int"),
+            ).drop("due", "recrawl_mult4").observe(
+                obs_rc,
+                F.sum(
+                    (F.col("enqueued_round") == F.lit(r)).cast("long")
+                ).alias("n"),
+            )
+        store.write(rstate, r, "recrawl_state")
+        if obs_rc is not None:
+            n_recrawled = int(obs_rc.get["n"] or 0)
+            if n_recrawled:
+                recrawl_rows = rank.attach_host_budget(
+                    store.read(r, "recrawl_state")
+                    .filter(F.col("enqueued_round") == r)
+                    .select(
+                        "url",
+                        "url_hash",
+                        "host",
+                        "host_hash",
+                        "priority",
+                        "crawl_depth",
+                    )
+                    .withColumn("discovered_round", F.lit(r))
+                    .withColumn("not_before_round", F.lit(r + 1))
+                    .withColumn("state", F.lit("pending")),
+                    st.robots_df,
+                    cfg,
+                )
+        _tick("recrawl")
 
     # --- parse (U-6) -> candidates -> new (J1): single fused Arrow pass ----
     seen_df = store.read_seen(r - 1)
@@ -882,6 +968,10 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         lineage = lineage.unionByName(
             metrics.scalar_lineage(spark, r, "quota_dropped", n_quota_dropped)
         )
+    if cfg.recrawl_every:
+        lineage = lineage.unionByName(
+            metrics.scalar_lineage(spark, r, "recrawled", n_recrawled)
+        )
     fetch_m = metrics.fetch_metrics(docs_r, r)
     lm_futures = []
     if cfg.async_lineage_metrics:
@@ -901,11 +991,16 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         st.robots_df,
         cfg,
     )
+    # re-enqueued recrawl rows (opt-in, above) enter the frontier exactly
+    # like new discoveries — but ONLY the frontier: never seen/bloom/quota
+    incoming = _frontier_shape(new_frontier_rows)
+    if recrawl_rows is not None:
+        incoming = incoming.unionByName(_frontier_shape(recrawl_rows))
     if use_delta:
         # O(batch) IO: selected hashes out, new rows in — the deferral bump
         # for everything else is derived at read time, never written.
         # One combined op-tagged write per round (io_tables docstring).
-        store.write_frontier_delta(_frontier_shape(new_frontier_rows), ordered, r)
+        store.write_frontier_delta(incoming, ordered, r)
         if cfg.adaptive_politeness and (
             prev_host_state is not None or "_nb_stored" in eligible.columns
         ):
@@ -934,7 +1029,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
                 f"round {r - 1} committed without a frontier counter — the "
                 "delta engine cannot maintain the running frontier size"
             )
-        n_frontier = int(prev_info["frontier"]) - n_frontier_sel + n_new
+        n_frontier = int(prev_info["frontier"]) - n_frontier_sel + n_new + n_recrawled
         if cfg.compact_frontier_every and r % cfg.compact_frontier_every == 0:
             # fold: base rows carry the CURRENT stored-convention nb (next
             # offer round), so derived phase re-anchors and the exception
@@ -954,7 +1049,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         frontier_next = (
             _frontier_shape(deferred)
             .unionByName(_frontier_shape(ineligible))
-            .unionByName(_frontier_shape(new_frontier_rows))
+            .unionByName(incoming)
         )
         obs_fr = Observation()
         store.write(
@@ -989,6 +1084,8 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         info_counters["retry_queue"] = n_retry_queue
     if cfg.host_page_quota:
         info_counters["quota_dropped"] = n_quota_dropped
+    if cfg.recrawl_every:
+        info_counters["recrawled"] = n_recrawled
     store.commit_round(r, info_counters)
     if _elig_cached is not None:
         _elig_cached.unpersist()

@@ -251,6 +251,182 @@ def snapshot_change_stats(
     )
 
 
+# Observed-changefreq interval multipliers in ×4 fixed point (so the due
+# test is pure integer arithmetic, bit-equal in Spark / Python / DuckDB):
+# interval_rounds ×4 = recrawl_interval × mult4. daily ½×, weekly 1×,
+# monthly 4×, yearly 8× — the four classes CHANGE_RATE_CLASSES emits.
+RECRAWL_CLASS_MULT4: tuple[tuple[str, int], ...] = (
+    ("daily", 2),
+    ("weekly", 4),
+    ("monthly", 16),
+    ("yearly", 32),
+)
+
+
+def recrawl_mult4_col(n_changed, n_unchanged) -> "F.Column":
+    """Host-level ×4 interval multiplier from accumulated refetch-pair
+    counts: rate = changed/(changed+unchanged) → CHANGE_RATE_CLASSES →
+    RECRAWL_CLASS_MULT4. No pairs (no URL refetched yet) defaults to
+    'weekly' (×4 = base interval) — no evidence is not evidence of
+    stability (snapshot_change_stats discipline). The rate is one double
+    division compared against literal thresholds — IEEE-identical in
+    Spark, Python and DuckDB, so the class (and hence the integer
+    multiplier) is cross-engine exact."""
+    pairs = n_changed + n_unchanged
+    rate = n_changed / pairs
+    mult = dict(RECRAWL_CLASS_MULT4)
+    klass = F.coalesce(
+        *[
+            F.when(rate >= lo, F.lit(mult[name]))
+            for lo, name in CHANGE_RATE_CLASSES[:-1]
+        ],
+        F.lit(mult[CHANGE_RATE_CLASSES[-1][1]]),
+    )
+    return F.when(pairs > 0, klass).otherwise(
+        F.lit(mult["weekly"])
+    ).cast("int")
+
+
+def recrawl_due(state: DataFrame, r: int, interval: int) -> DataFrame:
+    """Mark which recrawl_state rows are due for re-enqueue at round ``r``
+    (the allocation half of the closed refresh loop, observed-signal
+    variant — config.py `recrawl_every`): per-host change evidence →
+    interval class (``recrawl_mult4_col``), then
+        due ⇔ enqueued_round IS NULL ∧ 4·(r − last_fetch_round) ≥
+              interval · mult4
+    — uniform allocation in ×4 fixed-point integers, no float ages. The
+    enqueued_round latch (set by the caller on due rows, cleared by the
+    state merge on the next 200 fetch) guarantees a URL is never in the
+    frontier twice.
+
+    Input columns: host_hash, last_fetch_round, n_changed, n_unchanged,
+    enqueued_round. Output: input + (recrawl_mult4 int, due boolean).
+
+    Scale shape: one map-side-combinable host aggregate + one shuffle join
+    back on host_hash (host-cardinality right side, AQE-broadcastable);
+    the due test is per-row arithmetic. Nothing collects."""
+    agg = state.groupBy("host_hash").agg(
+        F.sum("n_changed").alias("_ch"), F.sum("n_unchanged").alias("_un")
+    )
+    j = state.join(
+        agg.select(
+            "host_hash",
+            recrawl_mult4_col(F.col("_ch"), F.col("_un")).alias(
+                "recrawl_mult4"
+            ),
+        ),
+        "host_hash",
+        "left",
+    )
+    due = F.col("enqueued_round").isNull() & (
+        F.lit(4) * (F.lit(int(r)) - F.col("last_fetch_round"))
+        >= F.lit(int(interval)) * F.col("recrawl_mult4")
+    )
+    return j.withColumn("due", due)
+
+
+def recrawl_state_merge(
+    prev: DataFrame | None, fetched: DataFrame, r: int
+) -> DataFrame:
+    """Fold round ``r``'s fetch outcomes into the recrawl_state table
+    (config.py `recrawl_every`; the estimation half of the refresh loop).
+
+    ``fetched``: one row per fetched URL this round — (url_hash, url,
+    host, host_hash, priority, crawl_depth, status, fingerprint) with
+    fingerprint non-NULL iff status 200. Rules (oracle/simulator.py
+    mirrors them verbatim):
+    - state row fetched this round: last_fetch_round ← r; on a 200 the
+      fingerprint comparison accrues one changed/unchanged pair, the
+      fingerprint updates, and the enqueued_round latch clears; a non-200
+      refetch only stamps the visit (counts/fingerprint/latch keep).
+    - 200 fetch of a URL not yet in state: fresh row (zero pairs).
+    - non-200 fetch of an unknown URL: not tracked (first sighting failed
+      — the retry queue owns transient failures, not the refresh loop).
+    - unfetched state rows carry over unchanged.
+
+    Scale shape: one full-outer shuffle join keyed on url_hash —
+    O(state + batch), same key the seen path shuffles on, AQE
+    skew-splittable; no broadcasts, no collects. The state rewrite is
+    whole-table per round (columnar, O(fetched-corpus)) — the same class
+    as the stored-frontier engine; at the 10^10 tier the identical merge
+    expresses as Iceberg MERGE INTO on the url_hash key (iceberg_store.py
+    seam) so only changed rows rewrite."""
+    f = fetched.select(
+        F.col("url_hash").alias("f_url_hash"),
+        F.col("url").alias("f_url"),
+        F.col("host").alias("f_host"),
+        F.col("host_hash").alias("f_host_hash"),
+        F.col("priority").alias("f_priority"),
+        F.col("crawl_depth").alias("f_crawl_depth"),
+        F.col("status").alias("f_status"),
+        F.col("fingerprint").alias("f_fingerprint"),
+        F.lit(True).alias("f_present"),
+    )
+    if prev is None:
+        ok = f.filter(F.col("f_status") == 200)
+        return ok.select(
+            F.col("f_url_hash").alias("url_hash"),
+            F.col("f_url").alias("url"),
+            F.col("f_host").alias("host"),
+            F.col("f_host_hash").alias("host_hash"),
+            F.col("f_priority").cast("int").alias("priority"),
+            F.col("f_crawl_depth").cast("int").alias("crawl_depth"),
+            F.lit(int(r)).cast("int").alias("last_fetch_round"),
+            F.col("f_fingerprint").alias("fingerprint"),
+            F.lit(0).cast("long").alias("n_changed"),
+            F.lit(0).cast("long").alias("n_unchanged"),
+            F.lit(None).cast("int").alias("enqueued_round"),
+        )
+    p = prev.withColumn("p_present", F.lit(True))
+    j = p.join(
+        f, p["url_hash"] == f["f_url_hash"], "full_outer"
+    )
+    in_prev = F.col("p_present").isNotNull()
+    got200 = F.col("f_present").isNotNull() & (F.col("f_status") == 200)
+    fetched_any = F.col("f_present").isNotNull()
+    changed = ~F.col("f_fingerprint").eqNullSafe(F.col("fingerprint"))
+    out = j.filter(in_prev | got200).select(
+        F.coalesce(F.col("url_hash"), F.col("f_url_hash")).alias("url_hash"),
+        F.coalesce(F.col("url"), F.col("f_url")).alias("url"),
+        F.coalesce(F.col("host"), F.col("f_host")).alias("host"),
+        F.coalesce(F.col("host_hash"), F.col("f_host_hash")).alias(
+            "host_hash"
+        ),
+        F.coalesce(F.col("priority"), F.col("f_priority"))
+        .cast("int")
+        .alias("priority"),
+        F.coalesce(F.col("crawl_depth"), F.col("f_crawl_depth"))
+        .cast("int")
+        .alias("crawl_depth"),
+        F.when(fetched_any, F.lit(int(r)))
+        .otherwise(F.col("last_fetch_round"))
+        .cast("int")
+        .alias("last_fetch_round"),
+        F.when(got200, F.col("f_fingerprint"))
+        .otherwise(F.col("fingerprint"))
+        .alias("fingerprint"),
+        (
+            F.coalesce(F.col("n_changed"), F.lit(0))
+            + F.when(got200 & in_prev & changed, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_changed"),
+        (
+            F.coalesce(F.col("n_unchanged"), F.lit(0))
+            + F.when(got200 & in_prev & ~changed, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_unchanged"),
+        F.when(got200, F.lit(None).cast("int"))
+        .otherwise(F.col("enqueued_round"))
+        .cast("int")
+        .alias("enqueued_round"),
+    )
+    return out
+
+
 def recrawl_priority(
     pages: DataFrame,
     now_day: str,

@@ -1113,7 +1113,9 @@ def domain_mix(urls: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def url_trap_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
+def url_trap_stats(
+    urls: DataFrame, url_col: str = "url", exact: bool = True
+) -> DataFrame:
     """Crawler-trap detection per host (Heritrix/Nutch-style URL-space
     explosion signal): collapse every digit run in the path to 'N' to get
     a path TEMPLATE, then per host report how many concrete URLs share how
@@ -1123,21 +1125,30 @@ def url_trap_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
 
     Host/path come from one anchored regex each (identical expression in
     the DuckDB oracle — no parse_url dependence), so the whole operator is
-    one codegen scan + one map-side-combinable aggregate. countDistinct is
-    exact for oracle comparability; at the 10^10-URL design point swap in
-    approx_count_distinct (the score needs one significant digit, not
-    exactness).
+    one codegen scan + one map-side-combinable aggregate.
+
+    ``exact`` picks the distinct strategy: True → countDistinct (two-pass
+    expand-aggregate; DuckDB-oracle-comparable — what queries() uses),
+    False → approx_count_distinct (single-pass HLL, rsd 5% — the
+    10^10-URL default: the trap score needs one significant digit, not
+    exactness, and HLL drops the second exchange over (host, template)).
+    Both paths share the scan/template expressions and output schema.
     """
     u = F.col(url_col)
     host = F.regexp_extract(u, "^[a-z]+://([^/?#]+)", 1)
     path = F.regexp_extract(u, "^[a-z]+://[^/?#]+([^?#]*)", 1)
     template = F.regexp_replace(path, "[0-9]+", "N")
     per_url = urls.select(host.alias("host"), template.alias("template"))
+    n_templates = (
+        F.countDistinct("template")
+        if exact
+        else F.approx_count_distinct("template", rsd=0.05)
+    )
     return (
         per_url.groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_urls"),
-            F.countDistinct("template").alias("n_templates"),
+            n_templates.alias("n_templates"),
         )
         .select(
             "host",

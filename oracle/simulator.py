@@ -55,6 +55,8 @@ class OracleResult:
     last_candidates_raw: list[Entry] = field(default_factory=list)  # pre-A2-dedup
     last_candidates: list[Entry] = field(default_factory=list)  # post-A2, pre-seen-filter
     content_seen: dict[int, str] = field(default_factory=dict)  # fingerprint -> first url
+    # final recrawl_state mirror (cfg.recrawl_every): url_hash -> record
+    recrawl_state: dict[int, dict] = field(default_factory=dict)
 
 
 def _prep_url(raw: str, cfg: CrawlConfig) -> tuple[str, int, str, int] | None:
@@ -101,6 +103,10 @@ def simulate(
     # per-host cumulative seen-page counts (cfg.host_page_quota): the
     # engine's append-only host_counts table as one dict
     host_counts: dict[int, int] = {}
+    # closed-loop recrawl state (cfg.recrawl_every): url_hash -> record,
+    # mirroring the engine's recrawl_state table (sitemaps.
+    # recrawl_state_merge / recrawl_due rules verbatim)
+    rc_state: dict[int, dict] = {}
 
     # --- init (SPEC.md Init) ------------------------------------------------
     # seed intake: explicit seeds at priority 0, plus (opt-in) sitemap
@@ -196,6 +202,37 @@ def simulate(
             if status >= 400:
                 s[1] += 1
             fetched.append((e, status, spans))
+        # recrawl state merge (opt-in cfg.recrawl_every): mirror
+        # sitemaps.recrawl_state_merge — any fetch stamps the visit; a 200
+        # accrues a changed/unchanged pair vs the stored fingerprint,
+        # updates it, and clears the enqueued latch; first-200 inserts a
+        # fresh row; failed first sightings are not tracked
+        if cfg.recrawl_every:
+            for e, status, spans in fetched:
+                srow = rc_state.get(e.url_hash)
+                if srow is not None:
+                    srow["last"] = r
+                    if status == 200:
+                        fp = fs.content_fingerprint_py(spans)
+                        if fp != srow["fp"]:
+                            srow["n_changed"] += 1
+                        else:
+                            srow["n_unchanged"] += 1
+                        srow["fp"] = fp
+                        srow["enq"] = None
+                elif status == 200:
+                    rc_state[e.url_hash] = {
+                        "url": e.url,
+                        "host": e.host,
+                        "hh": e.host_hash,
+                        "prio": e.priority,
+                        "depth": e.crawl_depth,
+                        "last": r,
+                        "fp": fs.content_fingerprint_py(spans),
+                        "n_changed": 0,
+                        "n_unchanged": 0,
+                        "enq": None,
+                    }
         # content-seen dedup (opt-in): suppress link extraction for docs
         # whose span fingerprint was sighted in an earlier round or, this
         # round, under a lexicographically smaller URL (round.py mirrors)
@@ -331,6 +368,47 @@ def simulate(
         for uh, e in new_entries.items():
             res.seen[uh] = e.url
             next_frontier[uh] = e
+        # recrawl re-enqueue (opt-in, cadence rounds): mirror
+        # sitemaps.recrawl_due — per-host observed-class interval in ×4
+        # fixed point; due rows latch enqueued_round and re-enter the
+        # frontier with original priority/depth, discovered this round.
+        # Seen set untouched (a refresh is not a discovery).
+        n_recrawled = 0
+        if cfg.recrawl_every and r % cfg.recrawl_every == 0:
+            from crawlspark.sitemaps import (
+                CHANGE_RATE_CLASSES,
+                RECRAWL_CLASS_MULT4,
+            )
+
+            multmap = dict(RECRAWL_CLASS_MULT4)
+            agg: dict[int, list[int]] = {}
+            for srow in rc_state.values():
+                a = agg.setdefault(srow["hh"], [0, 0])
+                a[0] += srow["n_changed"]
+                a[1] += srow["n_unchanged"]
+
+            def _mult4(hh: int) -> int:
+                ch, un = agg[hh]
+                if ch + un == 0:
+                    return multmap["weekly"]
+                rate = ch / (ch + un)
+                for lo, name in CHANGE_RATE_CLASSES[:-1]:
+                    if rate >= lo:
+                        return multmap[name]
+                return multmap[CHANGE_RATE_CLASSES[-1][1]]
+
+            for uh, srow in rc_state.items():
+                if srow["enq"] is not None:
+                    continue
+                if 4 * (r - srow["last"]) >= cfg.recrawl_interval * _mult4(
+                    srow["hh"]
+                ):
+                    srow["enq"] = r
+                    next_frontier[uh] = Entry(
+                        srow["url"], uh, srow["host"], srow["hh"],
+                        srow["prio"], srow["depth"], r, r + 1,
+                    )
+                    n_recrawled += 1
         frontier = next_frontier
         res.frontier_by_round[r] = sorted((replace(e) for e in frontier.values()), key=lambda e: (e.url_hash,))
         round_info = {
@@ -347,9 +425,12 @@ def simulate(
             round_info["retry_queue"] = len(retry_q)
         if cfg.host_page_quota:
             round_info["quota_dropped"] = quota_dropped
+        if cfg.recrawl_every:
+            round_info["recrawled"] = n_recrawled
         res.rounds.append(round_info)
         if not frontier and not retry_q:
             break
+    res.recrawl_state = rc_state
     return res
 
 

@@ -101,6 +101,51 @@ def test_flag_off_is_bit_identical(spark):
     assert a == oracle.crawl_order
 
 
+def test_relational_boosts_digest_equal(spark):
+    """Directive: the DataFrame boost source (linkgraph.pagerank_boosts_df
+    → CrawlState.boosts_df → rank.attach_boosts broadcast join) must be
+    crawl-order digest-equal to the driver-side tuple source for the same
+    ranks — the tuple is the ≲10^6-host policy hand-off, the DataFrame is
+    the 10^8+-host path, and they are the same policy."""
+    from crawlspark.xxh64 import hash_str
+
+    docs_spans = spark.read.parquet(
+        fixtures.fixture_dir("sf0.01") + "/documents_spans.parquet"
+    )
+    urls = spark.read.parquet(fixtures.fixture_dir("sf0.01") + "/doc_urls.parquet")
+    ranks = linkgraph.host_pagerank(
+        linkgraph.host_edges(docs_spans.join(urls, "doc_id")), n_iter=3
+    ).persist()
+    tup = linkgraph.pagerank_boosts(ranks, n_tiers=4)
+    bdf = linkgraph.pagerank_boosts_df(ranks, n_tiers=4)
+    # tier-for-tier: relational path == ntile tuple path (ties included)
+    got = {r["host_hash"]: r["boost"] for r in bdf.collect()}
+    assert got == {hash_str(h): b for h, b in tup}
+
+    cfg_tuple = CrawlConfig(host_boosts=tup, round_capacity=8)
+    via_tuple = _engine_order(spark, cfg_tuple, "/tmp/crawlspark-test-boost-tup")
+
+    # same crawl, boosts supplied relationally (host_boosts unset)
+    seeds = fixtures.seed_urls()
+    ckpt = "/tmp/crawlspark-test-boost-rel"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    st = rnd.init_crawl(
+        spark,
+        spark.createDataFrame([(u,) for u in seeds], SEEDS),
+        CrawlConfig(round_capacity=8),
+        FetchSpec(),
+        ckpt=ckpt,
+    )
+    st.boosts_df = bdf
+    rnd.run_crawl(st, max_rounds=ROUNDS)
+    via_df = [
+        (r["round"], r["seq"], r["url"])
+        for r in rnd.read_crawl_order(st).collect()
+    ]
+    ranks.unpersist()
+    assert via_df == via_tuple
+
+
 def test_pagerank_boosts_bridge(spark):
     """End-to-end story: PageRank over the fixture link graph → quantized
     boosts → a valid config that the engine accepts and schedules with."""

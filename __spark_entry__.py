@@ -862,12 +862,14 @@ def _q_semantic_dedup_stats(spark, sf_dir):
 
 def _q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing (textops.pack_sequences): deterministic
-    md5 pseudo-shuffle, 8 shards, packs cut every 512 tokens; per-doc
-    pack id, offset, and boundary-crossing flag."""
+    md5 pseudo-shuffle, packs cut every 512 tokens; per-doc pack id,
+    offset, and boundary-crossing flag. n_shards is the DERIVED √N
+    default (the scale-safe path) — the DuckDB twin derives the identical
+    FLOOR(SQRT(COUNT(*))) so shard assignments match value-for-value."""
     from crawlspark import textops
 
     return textops.pack_sequences(
-        _tpch(spark, sf_dir, "documents"), context_len=512, n_shards=8
+        _tpch(spark, sf_dir, "documents"), context_len=512
     )
 
 
@@ -1819,14 +1821,17 @@ def _textops_oracle_sql() -> dict[str, str]:
             FROM c
             """,
         "pack_sequences": f"""
-            WITH t AS (
+            WITH ns AS (
+              SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS INTEGER)) AS s
+              FROM documents),
+            t AS (
               SELECT doc_id,
                      CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
                      CAST(((strpos('0123456789abcdef',
                               substr(md5(CAST(doc_id AS VARCHAR) || '#packshard'), 1, 1)) - 1) * 16
                            + strpos('0123456789abcdef',
                               substr(md5(CAST(doc_id AS VARCHAR) || '#packshard'), 2, 1)) - 1)
-                          % 8 AS INTEGER) AS shard,
+                          % (SELECT s FROM ns) AS INTEGER) AS shard,
                      substr(md5(CAST(doc_id AS VARCHAR) || '#ord'), 1, 8) AS ordkey
               FROM documents),
             c AS (SELECT doc_id, shard, n_tokens,

@@ -871,7 +871,10 @@ def _md5_hex_byte(key, salt: str) -> "F.Column":
 
 
 def pack_sequences(
-    docs: DataFrame, context_len: int = 2048, n_shards: int = 8, salt: str = "pack"
+    docs: DataFrame,
+    context_len: int = 2048,
+    n_shards: int | None = None,
+    salt: str = "pack",
 ) -> DataFrame:
     """GPT-style sequence packing (concat-and-chunk): documents are
     pseudo-shuffled deterministically, concatenated per shard, and cut
@@ -887,12 +890,23 @@ def pack_sequences(
 
     Scale shape: shard = first md5 byte mod ``n_shards`` ⇒ each window
     partition holds ≈N/n_shards rows; the sort per partition is the
-    irreducible cost of sequencing (at 10^10 docs, pick n_shards so a
-    shard's (doc_id, ordkey, n_tokens) triples fit an executor — e.g.
-    2^14 shards ⇒ ~6×10^5 rows each). No global window, no driver state,
-    fully lazy. Docs with 0 tokens get offset rows but never cross."""
+    irreducible cost of sequencing. ``n_shards=None`` (default) derives
+    ≈√N from one cheap count — the token_shards discipline
+    (``token_shards`` bucket_width): shard count and rows-per-shard both
+    stay at √N, so at the 10^10-doc design point that is ~10^5 shards of
+    ~10^5 rows, never an N/8-row single-executor sort (a fixed default of
+    8 would put ~1.2×10^9 rows on one window partition there). The DuckDB
+    twin derives the same value via FLOOR(SQRT(COUNT(*))) — IEEE sqrt is
+    correctly rounded, so the two engines agree for any N below ~4×10^15.
+    Passing n_shards explicitly keeps construction job-free (lazy). No
+    global window, no driver state. Docs with 0 tokens get offset rows
+    but never cross."""
     from pyspark.sql import Window
 
+    if n_shards is None:
+        import math
+
+        n_shards = max(1, math.isqrt(max(int(docs.count()), 1)))
     t = docs.select(
         "doc_id",
         F.size(words_col()).cast("bigint").alias("n_tokens"),

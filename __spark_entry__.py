@@ -767,6 +767,16 @@ def _q_corpus_mix(spark, sf_dir):
     return textops.corpus_mix(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_mix_weights(spark, sf_dir):
+    """Temperature-scaled mixture weights (textops.mix_weights, XLM-R
+    share^alpha rule, alpha=0.3): per-source sampling weight + implied
+    upsample factor over the corpus-mix aggregate — source-cardinality
+    windows only, corpus scanned once."""
+    from crawlspark import textops
+
+    return textops.mix_weights(_tpch(spark, sf_dir, "documents"), alpha=0.3)
+
+
 def _q_embed_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding column
     (simsearch.embed_quantize): per-vector scale, code digest, and mean
@@ -1152,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new round 6 --------------------------------------------------
         "recrawl_enqueue": _q_recrawl_enqueue,
+        "mix_weights": _q_mix_weights,
         "pagerank_boosts_rel": _q_pagerank_boosts_rel,
         "url_trap_stats_approx": _q_url_trap_stats_approx,
         # -- never driver-attested through round 5 ------------------------
@@ -1857,6 +1868,22 @@ def _textops_oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, n_tokens, n_chars,
                    round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
             FROM a
+            """,
+        "mix_weights": f"""
+            WITH a AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len({_WORDS})) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            b AS (SELECT source, n_docs, n_tokens,
+                         CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share,
+                         pow(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 0.3) AS p
+                  FROM a)
+            SELECT source, n_docs, n_tokens,
+                   round(share, 6) AS token_share,
+                   round(p / SUM(p) OVER (), 6) AS weight,
+                   round((p / SUM(p) OVER ()) / share, 6) AS upsample_factor
+            FROM b
             """,
         "embed_quantize": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

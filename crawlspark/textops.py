@@ -791,6 +791,48 @@ def corpus_mix(docs: DataFrame) -> DataFrame:
     )
 
 
+def mix_weights(docs: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus source — the
+    exponentiated-share mixing rule multilingual LM training uses to keep
+    low-resource sources from vanishing (XLM-R / multilingual-BERT,
+    alpha≈0.3; alpha=1 recovers natural proportions, alpha→0 uniform):
+
+        weight_s = share_s^alpha / Σ_t share_t^alpha
+
+    plus the implied per-doc ``upsample_factor`` = weight_s / share_s (the
+    expected repeat count of a source's docs when sampling the mixed
+    corpus at natural size) — the two numbers a data loader's sampler is
+    configured from.
+
+    Scale shape: corpus_mix's single scan + tiny source-cardinality
+    aggregate; the two normalizations are window sums over the aggregated
+    rows only (source-cardinality, the repo's metadata-window class).
+    round(·,6) at the output, repo float convention."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    mixed = corpus_mix(docs).withColumn(
+        "_pow",
+        F.pow(
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w),
+            F.lit(float(alpha)),
+        ),
+    )
+    weight = F.col("_pow") / F.sum("_pow").over(w)
+    return mixed.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        F.round(weight, 6).alias("weight"),
+        F.round(
+            weight / (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)),
+            6,
+        ).alias("upsample_factor"),
+    )
+
+
 def token_shards(
     docs: DataFrame, budget: int = 4096, bucket_width: int | None = None
 ) -> DataFrame:

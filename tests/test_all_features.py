@@ -1,10 +1,11 @@
 """The everything-on crawl: every opt-in crawl feature enabled
 SIMULTANEOUSLY over a universe that exercises them all (redirects,
-mirrors, transient 503s, media extensions) — full engine ⇔ oracle
-equality plus run+resume exactness. Features tested pairwise elsewhere;
-this is the composition proof: admission quotas over quality-filtered
-candidates from redirect-following retried fetches of mirror-deduped
-content under adaptive politeness, boosts, and priority aging."""
+mirrors, transient 503s, media extensions, round-churning content) —
+full engine ⇔ oracle equality plus run+resume exactness. Features tested
+pairwise elsewhere; this is the composition proof: admission quotas over
+quality-filtered candidates from redirect-following retried fetches of
+mirror-deduped content under adaptive politeness, boosts, priority
+aging, and closed-loop recrawl re-enqueues."""
 
 import shutil
 
@@ -27,12 +28,16 @@ CFG = CrawlConfig(
     host_page_quota=6,
     priority_aging_every=2,
     host_boosts=(("h1.example", -1), ("h3.example", 1)),
+    recrawl_every=2,
+    recrawl_interval=2,
 )
-SPEC = FetchSpec(media_exts=True, redirect_mod=7, mirror_mod=4, error_mod=6)
+SPEC = FetchSpec(
+    media_exts=True, redirect_mod=7, mirror_mod=4, error_mod=6, change_mod=5
+)
 
 COUNTERS = (
     "selected", "new", "frontier", "url_filtered", "content_dups",
-    "retry_queue", "quota_dropped",
+    "retry_queue", "quota_dropped", "recrawled",
 )
 
 
@@ -76,6 +81,7 @@ def test_allfeat_all_counters_equal_and_nonvacuous(all_pair):
     assert totals["content_dups"] > 0, "content dedup never bound"
     assert totals["retry_queue"] > 0, "no retry ever queued"
     assert totals["quota_dropped"] > 0, "quota never bound"
+    assert totals["recrawled"] > 0, "recrawl never re-enqueued"
 
 
 def test_allfeat_resume_exactness(spark, all_pair):

@@ -55,6 +55,12 @@ def test_round5_query_invariance(spark):
         "observed_recrawl",
         "url_trap_stats",
         "content_fingerprints",
+        # round 6
+        "recrawl_enqueue",
+        "pagerank_boosts_rel",
+        "url_trap_stats_approx",
+        "mix_weights",
+        "pack_sequences",
     )
     q = entry.queries()
 

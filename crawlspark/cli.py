@@ -68,6 +68,16 @@ def main(argv: list[str] | None = None) -> int:
             "--host-quota", type=int, default=0,
             help="per-host page quota (frontier admission cap; 0 = off)",
         )
+        p.add_argument(
+            "--recrawl-every", type=int, default=0,
+            help="closed-loop recrawl cadence in rounds: re-enqueue fetched "
+            "URLs past their host's observed-changefreq interval (0 = off)",
+        )
+        p.add_argument(
+            "--recrawl-interval", type=int, default=4,
+            help="base recrawl interval in rounds (scaled by the observed "
+            "change class; only with --recrawl-every)",
+        )
     args = ap.parse_args(argv)
 
     from crawlspark import round as rnd
@@ -86,6 +96,8 @@ def main(argv: list[str] | None = None) -> int:
         content_dedup=getattr(args, "content_dedup", False),
         fetch_retries=getattr(args, "fetch_retries", 0) or 0,
         host_page_quota=(getattr(args, "host_quota", 0) or None),
+        recrawl_every=(getattr(args, "recrawl_every", 0) or None),
+        recrawl_interval=getattr(args, "recrawl_interval", 4),
     )
 
     if args.cmd == "status":

@@ -1147,6 +1147,44 @@ def _q_url_trap_stats_approx(spark, sf_dir):
     )
 
 
+# BM25 driver-query literals — one shared constant keeps the Spark
+# createDataFrame side and the DuckDB VALUES side in lockstep; terms drawn
+# from the synthetic corpus vocabulary, plus one OOV term ('quantum') so
+# the partial-match path is exercised.
+_BM25_QUERIES = [
+    (0, "hash join"),
+    (1, "window agg order"),
+    (2, "table scan filter"),
+    (3, "spark stream batch"),
+    (4, "sort merge join dup"),
+    (5, "vector quantum"),
+]
+
+
+def _bm25_values_sql() -> str:
+    return ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+
+
+def _q_postings_stats(spark, sf_dir):
+    """Inverted-index dictionary stats (df>=2 pruning, the hapax-drop a
+    real dictionary cache does): one explode + two map-side-combinable
+    keyed aggregates, pure JVM (retrieval.postings_stats scale notes)."""
+    from crawlspark import retrieval
+
+    return retrieval.postings_stats(_tpch(spark, sf_dir, "documents"), min_df=2)
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 ranked retrieval for a fixed 6-query set. The index is
+    restricted to query-term postings via a broadcast semi-join BEFORE
+    df/doc-length/scoring touch it; scores round to 6 dp before ranking
+    so the ordering is engine-stable (retrieval.bm25_topk scale notes)."""
+    from crawlspark import retrieval
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id bigint, qtext string")
+    return retrieval.bm25_topk(_tpch(spark, sf_dir, "documents"), qdf, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is load-bearing: the driver's CORRECTNESS harness
     checks exactly the FIRST 50 dict keys in insertion order (verified
@@ -1161,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     regardless of position). See README "driver contract" note."""
     return {
         # -- new round 6 --------------------------------------------------
+        "postings_stats": _q_postings_stats,
+        "bm25_topk": _q_bm25_topk,
         "recrawl_enqueue": _q_recrawl_enqueue,
         "mix_weights": _q_mix_weights,
         "pagerank_boosts_rel": _q_pagerank_boosts_rel,
@@ -1211,10 +1251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": _q_neardup_clusters,
         "doc_dedup_clusters": _q_doc_dedup_clusters,
         "pii_scrub": _q_pii_scrub,
+        # ---- position 51+ (driver-attested r4/r5 already; rotate r7) ----
         "line_dedup": _q_line_dedup,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
-        # ---- position 51+: 5-round-attested core (rotates back in r7) ----
+        # ---- 5-round-attested core (rotates back in r7) ----
         "link_extract": _q_link_extract,
         "span_integrity": _q_span_integrity,
         "host_rank_budget": _q_host_rank_budget,
@@ -1372,6 +1413,7 @@ def _band_sql(emb: str, band: int) -> str:
 
 
 def _textops_oracle_sql() -> dict[str, str]:
+    from crawlspark import retrieval as retrieval_mod
     from crawlspark.simsearch import (
         IVF_CENTROIDS as _IVF_C,
         IVF_NPROBE as _IVF_P,
@@ -1869,6 +1911,51 @@ def _textops_oracle_sql() -> dict[str, str]:
                    round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
             FROM a
             """,
+        "postings_stats": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            e AS (SELECT doc_id, unnest(ws) AS token FROM w),
+            p AS (SELECT token, doc_id, COUNT(*) AS tf FROM e GROUP BY 1, 2)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS cf
+            FROM p GROUP BY token HAVING COUNT(*) >= 2
+            """,
+        "bm25_topk": f"""
+            WITH q(query_id, qtext) AS (VALUES {_bm25_values_sql()}),
+            dw AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            e AS (SELECT doc_id, unnest(ws) AS token FROM dw),
+            p AS (SELECT token, doc_id, COUNT(*) AS tf FROM e GROUP BY 1, 2),
+            qw AS (SELECT query_id,
+                          list_filter(string_split(lower(qtext), ' '),
+                                      x -> x <> '') AS ws
+                   FROM q),
+            qt AS (SELECT DISTINCT query_id, unnest(ws) AS token FROM qw),
+            hits AS (SELECT p.token, p.doc_id, p.tf, qt.query_id
+                     FROM p JOIN qt USING (token)),
+            dft AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM hits GROUP BY token),
+            dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM dw),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         AVG(CAST(len(ws) AS DOUBLE)) AS avgdl FROM dw),
+            sc AS (
+              SELECT hits.query_id, hits.doc_id,
+                     ROUND(SUM(
+                       ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                       * (hits.tf * {retrieval_mod.BM25_K1 + 1.0}) /
+                       (hits.tf + {retrieval_mod.BM25_K1}
+                        * ({1.0 - retrieval_mod.BM25_B}
+                           + {retrieval_mod.BM25_B} * dl.dl / s.avgdl))
+                     ), 6) AS score
+              FROM hits JOIN dft USING (token) JOIN dl USING (doc_id)
+              CROSS JOIN s
+              GROUP BY 1, 2)
+            SELECT query_id, doc_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS BIGINT) AS "rank",
+                   score
+            FROM sc
+            QUALIFY "rank" <= 10
+            """,
         "mix_weights": f"""
             WITH a AS (
               SELECT source,
@@ -2265,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
     # run driver-side (no Spark) and materialized as parquet — so DuckDB
     # checks the Spark/Arrow plumbing value-for-value (idempotent, additive)
     from crawlspark import fixtures as _fixtures
+    from crawlspark import retrieval as retrieval_mod
 
     _fixtures.materialize_expected_fixtures("sf0.01")
     _fixtures.materialize_doc_url_fixtures("sf0.01")

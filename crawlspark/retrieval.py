@@ -1,0 +1,135 @@
+"""Full-text retrieval over the crawled ``documents`` table: inverted
+index (postings) construction, dictionary statistics, and BM25 ranked
+top-k search.
+
+A crawl engine that cannot be queried is a warehouse without a door —
+this family is the read side of the corpus the crawl side builds. All
+pure JVM (explode + keyed aggregates + one window), no Python UDFs, and
+every operator has an exact DuckDB oracle in __spark_entry__.py.
+
+Scale shape at 100 TB:
+- postings: ONE explode + ONE groupBy (token, doc_id) with map-side
+  combine — each partition collapses its repeated (token, doc) pairs
+  before the shuffle, so shuffle volume is bounded by distinct pairs,
+  not raw token occurrences. No broadcast anywhere corpus-derived.
+- postings_stats: a second keyed aggregate over postings on token
+  (map-side combined). Output is vocabulary-sized.
+- bm25_topk: the QUERY side is tiny next to the corpus and is the only
+  broadcast (query terms + two one-row scalar aggregates). Postings are
+  filtered down to query-term rows FIRST via the broadcast semi-join, so
+  document frequencies, the doc-length join, and the scoring aggregate
+  all touch only the matched slice — never the full index. Top-k per
+  query is a window over (query_id), bounded by queries x matched docs.
+  The one shuffle-join on doc_id (attaching doc length) probes with the
+  matched slice only; AQE sizes it at runtime.
+
+BM25 is the Robertson/Sparck-Jones ranking function with the Lucene
+positive-idf variant (public literature): idf = ln(1 + (N-df+0.5)/(df+0.5)),
+tf_norm = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)). Scores are rounded to
+6 decimals BEFORE ranking so the ordering (and therefore the result set)
+is bit-stable across engines; ties break on doc_id ascending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from crawlspark.textops import words_col
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Inverted-index postings: one row per (token, doc_id) with the
+    term frequency. One explode + one map-side-combinable aggregate."""
+    w = docs.select("doc_id", F.explode(words_col(text_col)).alias("token"))
+    return w.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+
+
+def postings_stats(docs: DataFrame, min_df: int = 1) -> DataFrame:
+    """Dictionary statistics per token: document frequency (postings-list
+    length) and collection frequency. ``min_df`` prunes the zipf tail the
+    way a real index drops hapax terms from its dictionary cache — at
+    10^10 docs the df>=2 dictionary is orders of magnitude smaller than
+    the raw vocabulary."""
+    st = postings(docs).groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    return st.filter(F.col("df") >= min_df) if min_df > 1 else st
+
+
+def corpus_scalars(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row (n_docs, avgdl) aggregate — zero-word docs count toward
+    both, matching the oracle's AVG over size()."""
+    return docs.select(F.size(words_col(text_col)).alias("dl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents per query.
+
+    ``queries`` is (query_id bigint, qtext string); duplicate terms in a
+    query count once (distinct-term BM25, qtf=1). Returns
+    (query_id, doc_id, rank, score) with rank 1..k per query, ordered by
+    score (rounded to 6 dp) descending, doc_id ascending on ties.
+    """
+    p = postings(docs)
+    # query terms: tiny, distinct, BROADCAST — the only small side here
+    qt = (
+        queries.select(
+            "query_id", F.explode(words_col("qtext")).alias("token")
+        ).distinct()
+    )
+    # restrict the index to query-term rows before anything expensive
+    hits = p.join(F.broadcast(qt), "token")
+    # df per query token over the FULL corpus == count of the restricted
+    # rows per token (restriction is by token, so counts are unchanged)
+    df_tok = hits.select("token", "doc_id").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    dl = docs.select("doc_id", F.size(words_col()).cast("double").alias("dl"))
+    scalars = corpus_scalars(docs)
+    scored = (
+        hits.join(F.broadcast(df_tok), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )

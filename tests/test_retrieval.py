@@ -1,0 +1,123 @@
+"""Retrieval family: inverted-index postings and BM25 top-k semantics.
+
+Hand-computable corpus checks (exact expected values), ranking-law
+checks (more matched terms / higher tf ranks higher), the OOV path, and
+partition-count invariance (the driver-contract DuckDB equality for the
+registered queries lives in test_driver_contract.py)."""
+
+import math
+
+import pytest
+
+from crawlspark import retrieval
+
+
+CORPUS = [
+    (1, "hash join hash join hash"),
+    (2, "hash join table"),
+    (3, "table scan filter scan"),
+    (4, "window agg"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in CORPUS], "doc_id bigint, text string"
+    )
+
+
+def test_postings_exact(spark, docs):
+    rows = {
+        (r.token, r.doc_id): r.tf for r in retrieval.postings(docs).collect()
+    }
+    assert rows[("hash", 1)] == 3
+    assert rows[("join", 1)] == 2
+    assert rows[("hash", 2)] == 1
+    assert rows[("scan", 3)] == 2
+    assert ("", 5) not in rows  # empty doc contributes nothing
+    assert sum(1 for (t, d) in rows if d == 5) == 0
+
+
+def test_postings_stats_min_df(spark, docs):
+    st = {r.token: (r.df, r.cf) for r in retrieval.postings_stats(docs).collect()}
+    assert st["hash"] == (2, 4)
+    assert st["join"] == (2, 3)
+    assert st["table"] == (2, 2)
+    assert st["scan"] == (1, 2)
+    pruned = {
+        r.token for r in retrieval.postings_stats(docs, min_df=2).collect()
+    }
+    assert pruned == {"hash", "join", "table"}
+
+
+def test_bm25_hand_computed(spark, docs):
+    """Single-term query against the 5-doc corpus, checked against a
+    from-scratch Python evaluation of the same formula."""
+    q = spark.createDataFrame([(0, "hash")], "query_id bigint, qtext string")
+    got = {
+        r.doc_id: (r.rank, r.score)
+        for r in retrieval.bm25_topk(docs, q, k=10).collect()
+    }
+    n_docs, avgdl = 5, (5 + 3 + 4 + 2 + 0) / 5.0
+    df = 2  # docs 1 and 2 contain 'hash'
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+
+    def score(tf, dl):
+        return round(
+            idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl)), 6
+        )
+
+    assert got == {1: (1, score(3, 5)), 2: (2, score(1, 3))}
+
+
+def test_bm25_more_matches_rank_higher(spark, docs):
+    q = spark.createDataFrame(
+        [(7, "table scan filter")], "query_id bigint, qtext string"
+    )
+    out = sorted(retrieval.bm25_topk(docs, q, k=10).collect(), key=lambda r: r.rank)
+    # doc 3 matches all three terms; doc 2 only 'table'
+    assert [r.doc_id for r in out] == [3, 2]
+    assert out[0].score > out[1].score
+
+
+def test_bm25_oov_and_duplicate_terms(spark, docs):
+    q = spark.createDataFrame(
+        [(1, "quantum flux"), (2, "hash hash hash")],
+        "query_id bigint, qtext string",
+    )
+    out = retrieval.bm25_topk(docs, q, k=10).collect()
+    assert all(r.query_id != 1 for r in out)  # fully-OOV query: no rows
+    # duplicate query terms count once: equal to the single-term scores
+    single = spark.createDataFrame([(2, "hash")], "query_id bigint, qtext string")
+    assert sorted((r.doc_id, r.score) for r in out) == sorted(
+        (r.doc_id, r.score)
+        for r in retrieval.bm25_topk(docs, single, k=10).collect()
+    )
+
+
+def test_bm25_k_caps_and_partition_invariance(spark, docs):
+    q = spark.createDataFrame(
+        [(0, "hash join table scan")], "query_id bigint, qtext string"
+    )
+    full = retrieval.bm25_topk(docs, q, k=10)
+    capped = retrieval.bm25_topk(docs, q, k=2)
+    assert capped.count() == 2
+    top2 = sorted(
+        ((r.query_id, r.doc_id, r.rank, r.score) for r in capped.collect())
+    )
+    ref = sorted(
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in full.collect()
+        if r.rank <= 2
+    )
+    assert top2 == ref
+    sk = sorted(
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in retrieval.bm25_topk(docs.repartition(7), q, k=10).collect()
+    )
+    assert sk == sorted(
+        (r.query_id, r.doc_id, r.rank, r.score) for r in full.collect()
+    )

@@ -1104,6 +1104,52 @@ def _q_content_fingerprints(spark, sf_dir):
     )
 
 
+def _q_conditional_revalidate(spark, sf_dir):
+    """The conditional-refetch primitive itself (fetch.revalidate — the
+    exact function crawl_round applies under cfg.conditional_fetch): a
+    deterministic validator universe is synthesized per doc from its own
+    md5 content fingerprint (class 0: cached copy unchanged → 304 +
+    emptied spans; class 1: cached copy stale → stays 200; class 2: no
+    cached copy → stays 200). Outputs the stored-payload accounting the
+    economy rests on. Fingerprint here is the md5 twin of the same
+    content_record serialization the crawl path hashes with xxhash64
+    (content_fingerprints query); the xxh64 path is oracle-verified
+    end-to-end by tests/test_conditional_fetch.py."""
+    from crawlspark import fetch as fetch_mod
+    from crawlspark.parse import content_record
+
+    docs = _read(spark, sf_dir, "documents_spans.parquet").filter(
+        F.col("spans").isNotNull()
+    )
+    fp = F.md5(content_record(F.col("spans")))
+    cls = F.pmod(F.ascii(F.substring(F.md5(F.col("doc_id")), 1, 1)), F.lit(3))
+    base = docs.select(
+        F.col("doc_id").alias("url"),
+        F.lit(200).cast("int").alias("status"),
+        "spans",
+    )
+    validators = docs.select(
+        F.col("doc_id").alias("url"),
+        F.when(cls == 0, fp)
+        .when(cls == 1, F.md5(F.concat(fp, F.lit("x"))))
+        .alias("_validator"),
+    )
+    out = fetch_mod.revalidate(
+        base, validators, fp_col=F.md5(content_record(F.col("spans")))
+    )
+    return out.select(
+        F.col("url").alias("doc_id"),
+        "status",
+        F.size("spans").cast("bigint").alias("n_spans_stored"),
+        F.aggregate(
+            "spans",
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.length(F.coalesce(s["text"], F.lit(""))).cast("long"),
+        ).alias("payload_chars"),
+    )
+
+
 def _q_domain_mix(spark, sf_dir):
     """Per-registered-domain URL accounting (textops.domain_mix): eTLD+1
     grouping over the crawl's URL table; the DuckDB twin shares the
@@ -1201,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round 6 --------------------------------------------------
         "postings_stats": _q_postings_stats,
         "bm25_topk": _q_bm25_topk,
+        "conditional_revalidate": _q_conditional_revalidate,
         "recrawl_enqueue": _q_recrawl_enqueue,
         "mix_weights": _q_mix_weights,
         "pagerank_boosts_rel": _q_pagerank_boosts_rel,
@@ -1250,8 +1297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_allpairs": _q_embed_neardup_allpairs,
         "neardup_clusters": _q_neardup_clusters,
         "doc_dedup_clusters": _q_doc_dedup_clusters,
-        "pii_scrub": _q_pii_scrub,
         # ---- position 51+ (driver-attested r4/r5 already; rotate r7) ----
+        "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
@@ -2479,6 +2526,36 @@ def oracle_sql() -> dict[str, str]:
                      chr(31))) AS content_md5
             FROM read_parquet('{dsp}')
             WHERE spans IS NOT NULL
+            """,
+        "conditional_revalidate": f"""
+            WITH d AS (
+              SELECT doc_id, spans FROM read_parquet('{dsp}')
+              WHERE spans IS NOT NULL
+            ),
+            f AS (
+              SELECT doc_id, spans,
+                     md5(array_to_string(
+                       list_transform(spans, s ->
+                         s.kind || chr(30) || coalesce(s.text, '') || chr(30)
+                         || coalesce(s.media_ref, '') || chr(30)
+                         || CAST(s.offset AS VARCHAR)),
+                       chr(31))) AS fp,
+                     ascii(substr(md5(doc_id), 1, 1)) % 3 AS cls
+              FROM d),
+            v AS (
+              SELECT doc_id, spans, fp,
+                     CASE WHEN cls = 0 THEN fp
+                          WHEN cls = 1 THEN md5(fp || 'x') END AS validator
+              FROM f)
+            SELECT doc_id,
+                   CASE WHEN validator = fp THEN 304 ELSE 200 END AS status,
+                   CAST(CASE WHEN validator = fp THEN 0
+                             ELSE len(spans) END AS BIGINT) AS n_spans_stored,
+                   CAST(CASE WHEN validator = fp THEN 0
+                             ELSE coalesce(list_sum(list_transform(spans,
+                                    s -> length(coalesce(s.text, '')))), 0)
+                        END AS BIGINT) AS payload_chars
+            FROM v
             """,
         "span_integrity": f"""
             WITH e AS (

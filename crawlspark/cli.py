@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
             help="base recrawl interval in rounds (scaled by the observed "
             "change class; only with --recrawl-every)",
         )
+        p.add_argument(
+            "--conditional-fetch", action="store_true",
+            help="revalidate refetches against the stored content "
+            "fingerprint: unchanged content is recorded as 304 with no "
+            "span payload (requires --recrawl-every)",
+        )
     args = ap.parse_args(argv)
 
     from crawlspark import round as rnd
@@ -98,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
         host_page_quota=(getattr(args, "host_quota", 0) or None),
         recrawl_every=(getattr(args, "recrawl_every", 0) or None),
         recrawl_interval=getattr(args, "recrawl_interval", 4),
+        conditional_fetch=getattr(args, "conditional_fetch", False),
     )
 
     if args.cmd == "status":

@@ -154,6 +154,22 @@ class CrawlConfig:
     # round_info + lineage as stage='recrawled'.
     recrawl_every: int | None = None
     recrawl_interval: int = 4
+    # opt-in conditional refetch (HTTP revalidation economy; requires
+    # recrawl_every): a refetch whose content fingerprint equals the one
+    # stored in recrawl_state is classified 304 Not Modified — the
+    # documents row keeps status 304 with an EMPTY span array (nothing
+    # re-stored, nothing re-parsed), and recrawl_state accrues the
+    # unchanged pair + clears the enqueue latch exactly as a
+    # 200-unchanged would (sitemaps.recrawl_state_merge). In the sandbox
+    # the validator comparison runs on the simulated payload; with a real
+    # fetcher the stored fingerprint rides the request as
+    # If-None-Match/If-Modified-Since and the comparison happens
+    # server-side — same seam where fetch_spec.simulate_fetch swaps out.
+    # Only refetches can revalidate (the seen set blocks duplicate
+    # first-fetches), so the flag is bit-neutral unless recrawl actually
+    # re-enqueues. Count lands in round_info + lineage as
+    # stage='not_modified'. Oracle-mirrored (oracle/simulator.py).
+    conditional_fetch: bool = False
     # adaptive politeness (heroshi-style backoff from observed server
     # behavior): a host whose fetched docs this round are >=50% errors gets
     # its delay multiplier doubled (budget shrinks, deferral stretches); an
@@ -238,6 +254,11 @@ class CrawlConfig:
             raise ValueError("recrawl_every must be >= 1 (None = off)")
         if self.recrawl_interval < 1:
             raise ValueError("recrawl_interval must be >= 1")
+        if self.conditional_fetch and self.recrawl_every is None:
+            raise ValueError(
+                "conditional_fetch requires recrawl_every (validators come "
+                "from the recrawl_state fingerprint table)"
+            )
         if self.host_boosts is not None:
             for pair in self.host_boosts:
                 if (

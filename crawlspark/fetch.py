@@ -168,3 +168,44 @@ def fetch_selected(
         .sortWithinPartitions("host_hash", "url_hash")
         .mapInArrow(fetch_batches, DOCUMENTS)
     )
+
+
+def revalidate(docs: DataFrame, validators: DataFrame, fp_col=None) -> DataFrame:
+    """Conditional-refetch classification (config.conditional_fetch):
+    ``validators`` is (url, _validator) — the cached content fingerprint
+    per URL (NULL/absent = no cached copy). A status-200 row whose
+    current fingerprint equals its validator becomes **304 Not Modified
+    with an EMPTY span array** (slice(spans, 1, 0) keeps the exact span
+    struct type), so nothing is re-stored or re-parsed downstream.
+
+    ``fp_col`` defaults to the crawl path's xxhash64 content fingerprint
+    (parse.content_fingerprint); the driver query passes the md5 twin of
+    the same content_record serialization so DuckDB can mirror the
+    classification byte-for-byte.
+
+    Scale shape: one left join keyed on url — the validator side is the
+    recrawl_state slice (refetch-cardinality at steady state), AQE picks
+    broadcast vs shuffle; the rewrite is per-row codegen."""
+    from pyspark.sql import functions as F
+
+    from .parse import content_fingerprint
+
+    fp = fp_col if fp_col is not None else content_fingerprint(F.col("spans"))
+    not_mod = (
+        (F.col("status") == 200)
+        & F.col("_validator").isNotNull()
+        & (fp == F.col("_validator"))
+    )
+    return (
+        docs.join(validators, "url", "left")
+        .withColumn(
+            "status",
+            F.when(not_mod, F.lit(304)).otherwise(F.col("status")).cast("int"),
+        )
+        .withColumn(
+            "spans",
+            F.when(F.col("status") == 304, F.slice(F.col("spans"), 1, 0))
+            .otherwise(F.col("spans")),
+        )
+        .drop("_validator")
+    )

@@ -674,7 +674,25 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         fetch_mod.fetch_selected if cfg.fetch_arrow else fetch_mod.fetch_selected_pandas
     )
     docs = fetch_fn(ordered, r, st.spec)
+    # --- conditional refetch (opt-in cfg.conditional_fetch): a refetch
+    # whose content fingerprint matches the recrawl_state validator is
+    # classified 304 — status rewritten, spans EMPTIED before the sink
+    # (nothing re-stored/re-parsed). slice(spans, 1, 0) keeps the exact
+    # span struct type. Only URLs present in last round's state can carry
+    # a validator, so first fetches are untouched by construction. -------
+    n_not_modified = 0
+    obs_304 = None
+    if cfg.conditional_fetch and store.exists(r - 1, "recrawl_state"):
+        validators = store.read(r - 1, "recrawl_state").select(
+            "url", F.col("fingerprint").alias("_validator")
+        )
+        obs_304 = Observation()
+        docs = fetch_mod.revalidate(docs, validators).observe(
+            obs_304, F.sum((F.col("status") == 304).cast("long")).alias("n")
+        )
     store.write(docs, r, "documents")
+    if obs_304 is not None:
+        n_not_modified = int(obs_304.get["n"] or 0)
     docs_r = store.read(r, "documents")  # re-read: fetch runs exactly once
     if cfg.adaptive_politeness:
         # next round's per-host backoff from THIS round's observed outcomes
@@ -972,6 +990,10 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         lineage = lineage.unionByName(
             metrics.scalar_lineage(spark, r, "recrawled", n_recrawled)
         )
+    if cfg.conditional_fetch:
+        lineage = lineage.unionByName(
+            metrics.scalar_lineage(spark, r, "not_modified", n_not_modified)
+        )
     fetch_m = metrics.fetch_metrics(docs_r, r)
     lm_futures = []
     if cfg.async_lineage_metrics:
@@ -1086,6 +1108,8 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         info_counters["quota_dropped"] = n_quota_dropped
     if cfg.recrawl_every:
         info_counters["recrawled"] = n_recrawled
+    if cfg.conditional_fetch:
+        info_counters["not_modified"] = n_not_modified
     store.commit_round(r, info_counters)
     if _elig_cached is not None:
         _elig_cached.unpersist()

@@ -337,8 +337,11 @@ def recrawl_state_merge(
     mirrors them verbatim):
     - state row fetched this round: last_fetch_round ← r; on a 200 the
       fingerprint comparison accrues one changed/unchanged pair, the
-      fingerprint updates, and the enqueued_round latch clears; a non-200
-      refetch only stamps the visit (counts/fingerprint/latch keep).
+      fingerprint updates, and the enqueued_round latch clears; on a 304
+      (cfg.conditional_fetch revalidation) the unchanged pair accrues,
+      the fingerprint keeps, and the latch clears — 304 == 200-unchanged
+      for state purposes; any other refetch status only stamps the visit
+      (counts/fingerprint/latch keep).
     - 200 fetch of a URL not yet in state: fresh row (zero pairs).
     - non-200 fetch of an unknown URL: not tracked (first sighting failed
       — the retry queue owns transient failures, not the refresh loop).
@@ -383,6 +386,12 @@ def recrawl_state_merge(
     )
     in_prev = F.col("p_present").isNotNull()
     got200 = F.col("f_present").isNotNull() & (F.col("f_status") == 200)
+    # 304 Not Modified (cfg.conditional_fetch): the server-side validator
+    # check stands in for a 200-unchanged — accrue the unchanged pair,
+    # keep the stored fingerprint, clear the latch. A 304 can only arrive
+    # for a URL already in state (the validator IS the state fingerprint);
+    # an unknown 304 has no prev row and drops with the filter below.
+    got304 = F.col("f_present").isNotNull() & (F.col("f_status") == 304)
     fetched_any = F.col("f_present").isNotNull()
     changed = ~F.col("f_fingerprint").eqNullSafe(F.col("fingerprint"))
     out = j.filter(in_prev | got200).select(
@@ -413,13 +422,13 @@ def recrawl_state_merge(
         .alias("n_changed"),
         (
             F.coalesce(F.col("n_unchanged"), F.lit(0))
-            + F.when(got200 & in_prev & ~changed, F.lit(1)).otherwise(
-                F.lit(0)
-            )
+            + F.when(
+                (got200 & in_prev & ~changed) | (got304 & in_prev), F.lit(1)
+            ).otherwise(F.lit(0))
         )
         .cast("long")
         .alias("n_unchanged"),
-        F.when(got200, F.lit(None).cast("int"))
+        F.when(got200 | got304, F.lit(None).cast("int"))
         .otherwise(F.col("enqueued_round"))
         .cast("int")
         .alias("enqueued_round"),

@@ -194,8 +194,20 @@ def simulate(
         fetch_stats: dict[int, list[int]] = {}  # host_hash -> [n, err]
         uq_filtered: set[int] = set()  # distinct url_hashes dropped by F6b
         fetched: list[tuple[Entry, int, list[dict] | None]] = []
+        n_not_modified = 0
         for e, _rank in selected:
             status, spans = fs.simulate_fetch(e.url, spec, r)
+            # conditional refetch (opt-in cfg.conditional_fetch): a 200
+            # whose fingerprint matches the stored recrawl_state validator
+            # becomes a 304 with an EMPTY span list BEFORE the docs row,
+            # stats, dedup, and parse see it (round.py mirrors)
+            if cfg.conditional_fetch and status == 200:
+                srow = rc_state.get(e.url_hash)
+                if srow is not None and srow["fp"] == fs.content_fingerprint_py(
+                    spans
+                ):
+                    status, spans = 304, []
+                    n_not_modified += 1
             res.docs.append((fs.doc_id_of(e.url_hash), e.url, r, status, spans))
             s = fetch_stats.setdefault(e.host_hash, [0, 0])
             s[0] += 1
@@ -219,6 +231,11 @@ def simulate(
                         else:
                             srow["n_unchanged"] += 1
                         srow["fp"] = fp
+                        srow["enq"] = None
+                    elif status == 304:
+                        # revalidated: unchanged pair, fingerprint keeps,
+                        # latch clears (a 304 == 200-unchanged for state)
+                        srow["n_unchanged"] += 1
                         srow["enq"] = None
                 elif status == 200:
                     rc_state[e.url_hash] = {
@@ -427,6 +444,8 @@ def simulate(
             round_info["quota_dropped"] = quota_dropped
         if cfg.recrawl_every:
             round_info["recrawled"] = n_recrawled
+        if cfg.conditional_fetch:
+            round_info["not_modified"] = n_not_modified
         res.rounds.append(round_info)
         if not frontier and not retry_q:
             break

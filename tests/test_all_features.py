@@ -5,7 +5,8 @@ full engine ⇔ oracle equality plus run+resume exactness. Features tested
 pairwise elsewhere; this is the composition proof: admission quotas over
 quality-filtered candidates from redirect-following retried fetches of
 mirror-deduped content under adaptive politeness, boosts, priority
-aging, and closed-loop recrawl re-enqueues."""
+aging, closed-loop recrawl re-enqueues, and conditional-refetch (304)
+revalidation."""
 
 import shutil
 
@@ -30,6 +31,7 @@ CFG = CrawlConfig(
     host_boosts=(("h1.example", -1), ("h3.example", 1)),
     recrawl_every=2,
     recrawl_interval=2,
+    conditional_fetch=True,
 )
 SPEC = FetchSpec(
     media_exts=True, redirect_mod=7, mirror_mod=4, error_mod=6, change_mod=5
@@ -37,7 +39,7 @@ SPEC = FetchSpec(
 
 COUNTERS = (
     "selected", "new", "frontier", "url_filtered", "content_dups",
-    "retry_queue", "quota_dropped", "recrawled",
+    "retry_queue", "quota_dropped", "recrawled", "not_modified",
 )
 
 
@@ -82,6 +84,7 @@ def test_allfeat_all_counters_equal_and_nonvacuous(all_pair):
     assert totals["retry_queue"] > 0, "no retry ever queued"
     assert totals["quota_dropped"] > 0, "quota never bound"
     assert totals["recrawled"] > 0, "recrawl never re-enqueued"
+    assert totals["not_modified"] > 0, "revalidation never produced a 304"
 
 
 def test_allfeat_resume_exactness(spark, all_pair):

@@ -912,6 +912,17 @@ def _q_host_pagerank(spark, sf_dir):
     return linkgraph.host_pagerank(edges, n_iter=4)
 
 
+def _q_host_hits(spark, sf_dir):
+    """Kleinberg HITS hubs & authorities over the host graph
+    (linkgraph.host_hits), fixed 4 iterations, L∞ half-step
+    normalization (max is exact cross-engine, unlike an L2 sqrt); the
+    oracle unrolls the identical half-steps as a CTE chain."""
+    from crawlspark import linkgraph
+
+    edges = linkgraph.host_edges(_docs_with_urls(spark, sf_dir))
+    return linkgraph.host_hits(edges, n_iter=4)
+
+
 def _q_pagerank_boosts_rel(spark, sf_dir):
     """The relational PageRank→scheduler bridge
     (linkgraph.pagerank_boosts_df): host ranks quantized into ntile boost
@@ -1248,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_stats": _q_postings_stats,
         "bm25_topk": _q_bm25_topk,
         "conditional_revalidate": _q_conditional_revalidate,
+        "host_hits": _q_host_hits,
         "recrawl_enqueue": _q_recrawl_enqueue,
         "mix_weights": _q_mix_weights,
         "pagerank_boosts_rel": _q_pagerank_boosts_rel,
@@ -2354,6 +2366,37 @@ def _pagerank_sql(dsp: str, dur: str, n_iter: int = 4, damping: float = 0.85) ->
     return s + f"\n        SELECT host, round(pr, 6) AS pr FROM r{n_iter}"
 
 
+def _hits_sql(dsp: str, dur: str, n_iter: int = 4) -> str:
+    """Unrolled HITS half-steps — the SAME un-normalized fixed iterations
+    the Spark operator runs (hub_0 ≡ 1 folded into a1), with one L∞
+    normalization (max, exact across engines) at the output."""
+    s = _linkgraph_prefix(dsp, dur) + """,
+        nodes AS (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL SELECT dst_host AS host FROM edges)),
+        a1 AS (SELECT dst_host, SUM(CAST(n_links AS DOUBLE)) AS auth
+               FROM edges GROUP BY dst_host)"""
+    for k in range(1, n_iter + 1):
+        s += f""",
+        h{k} AS (SELECT e.src_host, SUM(e.n_links * a.auth) AS hub
+                 FROM edges e JOIN a{k} a ON e.dst_host = a.dst_host
+                 GROUP BY e.src_host)"""
+        if k < n_iter:
+            s += f""",
+        a{k + 1} AS (SELECT e.dst_host, SUM(e.n_links * h.hub) AS auth
+                     FROM edges e JOIN h{k} h ON e.src_host = h.src_host
+                     GROUP BY e.dst_host)"""
+    return s + f"""
+        SELECT nodes.host,
+               round(COALESCE(h.hub, 0.0)
+                     / (SELECT MAX(hub) FROM h{n_iter}), 6) AS hub,
+               round(COALESCE(a.auth, 0.0)
+                     / (SELECT MAX(auth) FROM a{n_iter}), 6) AS auth
+        FROM nodes
+        LEFT JOIN h{n_iter} h ON nodes.host = h.src_host
+        LEFT JOIN a{n_iter} a ON nodes.host = a.dst_host"""
+
+
 def _linkgraph_oracle_sql() -> dict[str, str]:
     dsp = _fx_path("documents_spans.parquet")
     dur = _fx_path("doc_urls.parquet")
@@ -2361,6 +2404,7 @@ def _linkgraph_oracle_sql() -> dict[str, str]:
         "host_graph": _linkgraph_prefix(dsp, dur)
         + "\n        SELECT src_host, dst_host, n_links FROM edges",
         "host_pagerank": _pagerank_sql(dsp, dur, n_iter=4),
+        "host_hits": _hits_sql(dsp, dur, n_iter=4),
         "pagerank_boosts_rel": "WITH pr_tbl AS ("
         + _pagerank_sql(dsp, dur, n_iter=4)
         + """)

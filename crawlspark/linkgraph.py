@@ -269,3 +269,64 @@ def anchor_stats(docs: DataFrame) -> DataFrame:
         )
     )
     return totals.join(top, "dst_host")
+
+
+def host_hits(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """Kleinberg HITS over the weighted host graph:
+    (src_host, dst_host, n_links) → (host, hub, auth).
+
+    auth_k(v) = Σ_{u→v} w(u,v)·hub_{k-1}(u); hub_k(u) = Σ_{u→v}
+    w(u,v)·auth_k(v). Iterations run UN-normalized and both vectors are
+    L∞-normalized (divide by max — exact across engines, unlike an L2
+    sqrt) once at the output: per-half-step normalization would
+    reference each raw aggregate twice (norm + join), DOUBLING the
+    Catalyst lineage every half-step — an exponential plan that OOMs
+    the driver before a row moves. Un-normalized magnitudes are bounded
+    by (Σw)^{2·n_iter}; at the fixed default depth that sits far inside
+    double range even at 10^9 hosts, and the normalized RATIOS — the
+    thing a scheduler consumes — are identical.
+
+    Same scale/laziness discipline as ``host_pagerank``: fixed
+    iteration count → ONE lazy plan, no driver loop state; every join
+    keys on host strings over the host-pair edge aggregate (≪ corpus);
+    hosts with no outlinks get hub 0, no inlinks → auth 0 (the final
+    left joins onto the node set). Output rounded to 6 dp."""
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    # hub_0 ≡ 1 folds into the first half-step: auth_1(v) = Σ_{u→v} w
+    auth = edges.groupBy("dst_host").agg(
+        F.sum(F.col("n_links").cast("double")).alias("auth")
+    )
+    hub = None
+    for k in range(n_iter):
+        hub = (
+            edges.join(auth, "dst_host")
+            .groupBy("src_host")
+            .agg(F.sum(F.col("n_links") * F.col("auth")).alias("hub"))
+        )
+        if k < n_iter - 1:
+            auth = (
+                edges.join(hub, "src_host")
+                .groupBy("dst_host")
+                .agg(F.sum(F.col("n_links") * F.col("hub")).alias("auth"))
+            )
+    a_max = auth.agg(F.max("auth").alias("a_max"))
+    h_max = hub.agg(F.max("hub").alias("h_max"))
+    return (
+        nodes.join(hub.withColumnRenamed("src_host", "host"), "host", "left")
+        .join(auth.withColumnRenamed("dst_host", "host"), "host", "left")
+        .crossJoin(F.broadcast(a_max))
+        .crossJoin(F.broadcast(h_max))
+        .select(
+            "host",
+            F.round(
+                F.coalesce(F.col("hub"), F.lit(0.0)) / F.col("h_max"), 6
+            ).alias("hub"),
+            F.round(
+                F.coalesce(F.col("auth"), F.lit(0.0)) / F.col("a_max"), 6
+            ).alias("auth"),
+        )
+    )

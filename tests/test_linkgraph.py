@@ -144,3 +144,55 @@ def test_anchor_stats_tie_break(spark):
         2,
     )
     assert (r["n_inlinks"], r["n_src_hosts"], r["n_anchors"]) == (4, 2, 2)
+
+
+def test_hits_matches_numpy_reference(spark, small_docs):
+    edges = linkgraph.host_edges(small_docs)
+    got = {
+        r["host"]: (r["hub"], r["auth"])
+        for r in linkgraph.host_hits(edges, n_iter=4).collect()
+    }
+
+    # independent dense HITS: same fixed half-steps, un-normalized
+    # iterations, one L-inf normalization at the end (operator docstring)
+    import numpy as np
+
+    hosts = sorted(got)
+    idx = {h: i for i, h in enumerate(hosts)}
+    w = np.zeros((len(hosts), len(hosts)))
+    for r in edges.collect():
+        w[idx[r["src_host"]], idx[r["dst_host"]]] += r["n_links"]
+    # trace order: a1 from h0, h1 from a1, ... a4 from h3, h4 from a4
+    hub0 = np.ones(len(hosts))
+    auth = w.T @ hub0
+    for k in range(4):
+        hubv = w @ auth
+        if k < 3:
+            auth = w.T @ hubv
+    hubv = hubv / hubv.max()
+    auth = auth / auth.max()
+    for h in hosts:
+        assert got[h][0] == pytest.approx(hubv[idx[h]], abs=2e-6)
+        assert got[h][1] == pytest.approx(auth[idx[h]], abs=2e-6)
+    # L-inf normalization: both vectors peak at exactly 1
+    assert max(v[0] for v in got.values()) == pytest.approx(1.0)
+    assert max(v[1] for v in got.values()) == pytest.approx(1.0)
+
+
+def test_hits_lazy_and_parallelism_invariant(spark, small_docs):
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    df = linkgraph.host_hits(linkgraph.host_edges(small_docs), n_iter=3)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "host_hits construction must not run a job"
+
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(
+        map(
+            tuple,
+            linkgraph.host_hits(
+                linkgraph.host_edges(small_docs.repartition(7)), n_iter=3
+            ).collect(),
+        )
+    )
+    assert a == b

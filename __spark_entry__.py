@@ -1115,6 +1115,22 @@ def _q_content_fingerprints(spark, sf_dir):
     )
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (textops.dsir_logweights — Xie et al. 2023
+    hashed-n-gram importance resampling): the doc_id % 7 == 0 slice
+    stands in for the quality-target corpus, the rest is the raw pool;
+    64 buckets keep the hash features dense at sf0.01. Emits per-doc
+    log-importance plus the deterministic Gumbel-top-k sample_key; the
+    DuckDB twin re-derives the identical smoothed bucket distributions,
+    λ table, and md5-Gumbel arithmetic."""
+    from crawlspark import textops
+
+    docs = _tpch(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    return textops.dsir_logweights(raw, target, n_buckets=64)
+
+
 def _q_conditional_revalidate(spark, sf_dir):
     """The conditional-refetch primitive itself (fetch.revalidate — the
     exact function crawl_round applies under cfg.conditional_fetch): a
@@ -1259,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_stats": _q_postings_stats,
         "bm25_topk": _q_bm25_topk,
         "conditional_revalidate": _q_conditional_revalidate,
+        "dsir_weights": _q_dsir_weights,
         "host_hits": _q_host_hits,
         "recrawl_enqueue": _q_recrawl_enqueue,
         "mix_weights": _q_mix_weights,
@@ -1307,9 +1324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_probe_audit": _q_lsh_probe_audit,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_allpairs": _q_embed_neardup_allpairs,
+        # ---- position 51+ (driver-attested r4/r5 already; rotate r7) ----
         "neardup_clusters": _q_neardup_clusters,
         "doc_dedup_clusters": _q_doc_dedup_clusters,
-        # ---- position 51+ (driver-attested r4/r5 already; rotate r7) ----
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "media_features": _q_media_features,
@@ -1969,6 +1986,37 @@ def _textops_oracle_sql() -> dict[str, str]:
             SELECT source, n_docs, n_tokens, n_chars,
                    round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
             FROM a
+            """,
+        "dsir_weights": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            uni AS (SELECT doc_id, unnest(ws) AS g FROM w),
+            bi AS (SELECT doc_id, unnest({_sh_sql(2)}) AS g FROM w),
+            grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+            gb AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                            % 64 AS b
+                   FROM grams),
+            raw AS (SELECT * FROM gb WHERE doc_id % 7 <> 0),
+            tgt AS (SELECT * FROM gb WHERE doc_id % 7 = 0),
+            rc AS (SELECT b, COUNT(*) AS cr FROM raw GROUP BY b),
+            tc AS (SELECT b, COUNT(*) AS ct FROM tgt GROUP BY b),
+            tot AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM raw) AS tr,
+                           (SELECT CAST(COUNT(*) AS DOUBLE) FROM tgt) AS tt),
+            bk AS (SELECT unnest(generate_series(0, 63)) AS b),
+            lam AS (SELECT bk.b,
+                           ln((coalesce(ct, 0) + 1.0) / (tt + 64.0))
+                           - ln((coalesce(cr, 0) + 1.0) / (tr + 64.0)) AS lam
+                    FROM bk LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+                    CROSS JOIN tot),
+            pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                          SUM(lam) AS logw
+                   FROM raw JOIN lam USING (b) GROUP BY doc_id)
+            SELECT doc_id, n_grams, round(logw, 6) AS logw,
+                   round(logw - ln(-ln(
+                     (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || '#dsir'), 1, 8)) AS BIGINT) + 0.5)
+                     / 4294967296.0)), 6) AS sample_key
+            FROM pd
             """,
         "postings_stats": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),

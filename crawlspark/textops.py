@@ -1289,3 +1289,113 @@ def unigram_logprob(
         F.sum("oov").cast("bigint").alias("n_oov"),
         F.round(F.avg("logp"), 6).alias("mean_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023, public
+# literature) — hashed n-gram importance weights toward a target corpus
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def _gram_bucket_rows(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, b): one row per unigram+bigram occurrence, hashed into
+    ``n_buckets`` via the md5-first-32-bits construction both engines
+    share (shingle_hash_col); row multiplicity IS the count."""
+    w = docs.select("doc_id", words_col().alias("ws"))
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.col("ws"), shingles_col(F.col("ws"), n=2))
+        ).alias("g"),
+    )
+    return grams.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights: select raw-corpus docs toward a TARGET
+    distribution (the public Xie et al. 2023 recipe — hashed n-gram
+    features, bag-of-buckets importance estimator):
+
+        log w(x) = Σ_b c_x[b] · (log p_t[b] − log p_r[b])
+
+    with add-``smoothing`` categorical estimates over ``n_buckets`` hash
+    buckets fit on the target / raw corpora. Also emits ``sample_key`` =
+    log w + Gumbel(md5(doc_id)) — the Gumbel-top-k trick turns
+    resampling-∝-w into a deterministic ORDER BY sample_key DESC LIMIT k
+    (no RNG state, identical at any parallelism; u derives from the md5
+    of doc_id exactly like hash_sample's keep rule).
+
+    Output: (doc_id, n_grams, logw, sample_key), rounded to 6 dp at the
+    output only; docs with zero grams carry no row (nothing to weigh).
+
+    Scale shape at 100 TB: the RAW corpus is touched by exactly one
+    explode + one B-bucket map-side-combinable aggregate (B-row result)
+    + one broadcast join (the B-row λ table) + one doc-keyed aggregate —
+    nothing corpus-derived is ever broadcast and no global sort exists;
+    selection downstream is TakeOrdered on sample_key. The target corpus
+    (a quality reference — tiny next to the raw crawl) pays the same two
+    aggregates."""
+    spark = docs.sparkSession
+    raw_rows = _gram_bucket_rows(docs, n_buckets)
+    tgt_rows = _gram_bucket_rows(target, n_buckets)
+    r_counts = raw_rows.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    t_counts = tgt_rows.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    r_total = raw_rows.agg(F.count(F.lit(1)).cast("double").alias("tr"))
+    t_total = tgt_rows.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
+    s, sb = float(smoothing), float(smoothing) * n_buckets
+    lam = (
+        buckets.join(t_counts, "b", "left")
+        .join(r_counts, "b", "left")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + s)
+                    / (F.col("tt") + sb)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)).cast("double") + s)
+                    / (F.col("tr") + sb)
+                )
+            ).alias("lam"),
+        )
+    )
+    per_doc = (
+        raw_rows.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("lam").alias("_logw"),
+        )
+    )
+    # Gumbel noise from the doc_id hash: u = (h32 + 0.5) / 2^32 ∈ (0,1)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#dsir"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        F.round("_logw", 6).alias("logw"),
+        F.round(F.col("_logw") - F.log(-F.log(u)), 6).alias("sample_key"),
+    )

@@ -575,3 +575,55 @@ def test_registered_domain_suffix_handling(spark):
     assert got == cases
     for h, want in cases.items():
         assert textops.registered_domain_py(h) == want
+
+
+def test_dsir_pulls_toward_target(spark):
+    """DSIR semantics on a planted universe: the target corpus speaks
+    vocabulary A; raw docs speaking A must out-weigh raw docs speaking B
+    (logw strictly higher for every A-doc than every B-doc), and logw of
+    an A-doc grows with its gram count."""
+    A = "alpha beta gamma delta epsilon"
+    B = "zork quux blorp fizz buzz"
+    target = spark.createDataFrame(
+        [(100 + i, A) for i in range(8)], "doc_id bigint, text string"
+    )
+    raw = spark.createDataFrame(
+        [(0, A), (1, A + " " + A), (2, B), (3, B + " " + B)],
+        "doc_id bigint, text string",
+    )
+    from crawlspark import textops
+
+    got = {
+        r["doc_id"]: (r["logw"], r["n_grams"])
+        for r in textops.dsir_logweights(raw, target, n_buckets=32).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    a_w = [got[0][0], got[1][0]]
+    b_w = [got[2][0], got[3][0]]
+    assert min(a_w) > max(b_w)
+    assert got[1][0] > got[0][0]  # more target-like grams, higher weight
+    assert got[1][1] > got[0][1]
+
+
+def test_dsir_deterministic_and_parallelism_invariant(spark, docs):
+    from crawlspark import textops
+    from pyspark.sql import functions as F
+
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    a = sorted(
+        map(tuple, textops.dsir_logweights(raw, target, n_buckets=64).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            textops.dsir_logweights(
+                raw.repartition(7), target.repartition(3), n_buckets=64
+            ).collect(),
+        )
+    )
+    assert a == b
+    # sample_key is logw + doc-hash Gumbel noise: keys are distinct (the
+    # resampling order is a strict total order) and differ from raw logw
+    keys = [r[3] for r in a]
+    assert len(set(keys)) == len(keys)

@@ -1028,6 +1028,42 @@ def _q_recrawl_enqueue(spark, sf_dir):
     )
 
 
+def _q_ip_cap(spark, sf_dir):
+    """The per-IP politeness primitive crawl_round applies under
+    cfg.ip_politeness_groups (rank.ip_cap): hosts hash into IP groups
+    (virtual-hosting model) and each group keeps its `budget` best rows
+    in (rank, host_hash, url) order — best-rank-first ACROSS the group's
+    hosts. Input is the frontier fixture with a deterministic per-URL
+    rank (pmod(url_hash, 4)+1, the same hash-derived-variant trick as
+    url_quality); grouping uses the md5-first-32-bits cross-engine twin
+    via ip_cap's group_col seam (also the DNS-table production form) so
+    DuckDB replays it exactly — the default xxh64 resolver stub is
+    oracle-verified end-to-end by tests/test_ip_politeness.py."""
+    from crawlspark import rank as rank_mod
+
+    fro = _read(spark, sf_dir, "frontier.parquet")
+    sel = fro.select(
+        "url",
+        "host_hash",
+        (F.pmod(F.col("url_hash"), F.lit(4)) + 1).cast("int").alias("rank"),
+    )
+    grp = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("host_hash").cast("string"), F.lit("#ip"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(8),
+    ).cast("int")
+    return rank_mod.ip_cap(
+        sel, n_groups=8, budget=5, keep_group_col=True, group_col=grp
+    ).select("ip_group", "host_hash", F.col("rank").alias("sel_rank"), "url")
+
+
 def _q_observed_recrawl(spark, sf_dir):
     """The CLOSED refresh loop: snapshot_change_stats' observed per-host
     changefreq class (estimation) replaces the sitemap hint as
@@ -1281,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": _q_mix_weights,
         "pagerank_boosts_rel": _q_pagerank_boosts_rel,
         "url_trap_stats_approx": _q_url_trap_stats_approx,
+        "ip_cap": _q_ip_cap,
         # -- never driver-attested through round 5 ------------------------
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
@@ -2705,6 +2742,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_hash, MIN(url) AS url,
                    MIN(priority) AS priority, MIN(crawl_depth) AS crawl_depth
             FROM read_parquet('{cnr}') GROUP BY url_hash
+            """,
+        "ip_cap": f"""
+            WITH s AS (
+              SELECT url, host_hash,
+                     CAST(((url_hash % 4) + 4) % 4 + 1 AS INTEGER) AS sel_rank,
+                     CAST(CAST(('0x' || substr(md5(CAST(host_hash AS VARCHAR)
+                          || '#ip'), 1, 8)) AS BIGINT) % 8 AS INTEGER)
+                       AS ip_group
+              FROM read_parquet('{fro}')
+            ),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ip_group
+                      ORDER BY sel_rank, host_hash, url) AS rn FROM s)
+            SELECT ip_group, host_hash, sel_rank, url FROM r WHERE rn <= 5
             """,
         "host_stats": f"""
             SELECT host_hash, COUNT(*) AS pending,

@@ -84,6 +84,16 @@ def main(argv: list[str] | None = None) -> int:
             "fingerprint: unchanged content is recorded as 304 with no "
             "span payload (requires --recrawl-every)",
         )
+        p.add_argument(
+            "--ip-groups", type=int, default=0,
+            help="per-IP politeness: hosts hash into N IP groups and each "
+            "group keeps at most --ip-budget selected rows per round "
+            "(0 = off)",
+        )
+        p.add_argument(
+            "--ip-budget", type=int, default=4,
+            help="per-IP-group row budget per round (with --ip-groups)",
+        )
     args = ap.parse_args(argv)
 
     from crawlspark import round as rnd
@@ -105,6 +115,8 @@ def main(argv: list[str] | None = None) -> int:
         recrawl_every=(getattr(args, "recrawl_every", 0) or None),
         recrawl_interval=getattr(args, "recrawl_interval", 4),
         conditional_fetch=getattr(args, "conditional_fetch", False),
+        ip_politeness_groups=(getattr(args, "ip_groups", 0) or None),
+        ip_budget=getattr(args, "ip_budget", 4),
     )
 
     if args.cmd == "status":

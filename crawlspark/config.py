@@ -170,6 +170,20 @@ class CrawlConfig:
     # re-enqueues. Count lands in round_info + lineage as
     # stage='not_modified'. Oracle-mirrored (oracle/simulator.py).
     conditional_fetch: bool = False
+    # opt-in per-IP politeness (Heritrix queue-per-IP analog): virtual
+    # hosting maps many hosts to one server, so per-host budgets alone
+    # can still hammer a box. A deterministic resolver stub assigns each
+    # host an IP group — xxhash64(str(host_hash) + '#ip') mod N, the
+    # production swap point being a DNS-resolved (host_hash, ip_group)
+    # table joined in its place — and AFTER per-host selection each group
+    # keeps at most `ip_budget` rows per round, consumed best-rank-first
+    # ACROSS hosts ((rank, host_hash, url) order: fair interleaving, no
+    # single host starves its server neighbors). Rows the cap drops stay
+    # in the frontier and take the normal deferral bump. None = off,
+    # bit-identical default. Oracle-mirrored (oracle/simulator.py);
+    # dropped count lands in round_info + lineage as stage='ip_capped'.
+    ip_politeness_groups: int | None = None
+    ip_budget: int = 4
     # adaptive politeness (heroshi-style backoff from observed server
     # behavior): a host whose fetched docs this round are >=50% errors gets
     # its delay multiplier doubled (budget shrinks, deferral stretches); an
@@ -259,6 +273,10 @@ class CrawlConfig:
                 "conditional_fetch requires recrawl_every (validators come "
                 "from the recrawl_state fingerprint table)"
             )
+        if self.ip_politeness_groups is not None and self.ip_politeness_groups < 1:
+            raise ValueError("ip_politeness_groups must be >= 1 (None = off)")
+        if self.ip_budget < 1:
+            raise ValueError("ip_budget must be >= 1")
         if self.host_boosts is not None:
             for pair in self.host_boosts:
                 if (

@@ -192,6 +192,56 @@ def select_batch(
     return selected
 
 
+def ip_group_col(n_groups: int) -> "F.Column":
+    """Deterministic resolver stub: host_hash → IP group, via the string
+    xxhash64 chain so oracle/xxh64.hash_str reproduces it bit-for-bit
+    (same construction as cfg.host_boosts host mapping). Production swap
+    point: replace with a DNS-resolved (host_hash, ip_group) table join."""
+    return F.pmod(
+        F.xxhash64(F.concat(F.col("host_hash").cast("string"), F.lit("#ip"))),
+        F.lit(int(n_groups)).cast("long"),
+    ).cast("int")
+
+
+def ip_cap(
+    selected: DataFrame,
+    n_groups: int,
+    budget: int,
+    keep_group_col: bool = False,
+    group_col: "F.Column | None" = None,
+) -> DataFrame:
+    """Per-IP politeness cap (config.ip_politeness_groups): AFTER the
+    per-host budget, each IP group keeps its ``budget`` best rows in
+    (rank, host_hash, url) order — best-rank-first across the group's
+    hosts, so budget is shared fairly rather than first-host-takes-all;
+    the key is total (url unique), deterministic at any parallelism.
+
+    Scale shape: ONE window partitioned by ip_group over already
+    host-capped rows — at most (hosts_in_group × B_h) rows per
+    partition; `n_groups` is the operator's parallelism lever (size it
+    so hosts/N × B_h fits an executor, the same discipline as
+    token_shards/pack_sequences shard derivation). Spark compiles the
+    rank<=k filter to WindowGroupLimit, so each input partition emits at
+    most `budget` rows per group before the exchange.
+
+    ``group_col`` overrides the resolver stub with any host→group
+    expression or joined column (the DNS-table production form; the
+    driver's ip_cap query passes the md5 cross-engine twin so DuckDB can
+    replay the grouping — the xxh64 default is oracle-verified end-to-end
+    by tests/test_ip_politeness.py)."""
+    g = selected.withColumn(
+        "ip_group",
+        ip_group_col(n_groups) if group_col is None else group_col,
+    )
+    w = Window.partitionBy("ip_group").orderBy(
+        F.col("rank").asc(), F.col("host_hash").asc(), F.col("url").asc()
+    )
+    out = g.withColumn("_ipr", F.row_number().over(w)).filter(
+        F.col("_ipr") <= F.lit(int(budget))
+    ).drop("_ipr")
+    return out if keep_group_col else out.drop("ip_group")
+
+
 EMIT_ORDER = ("host_hash", "rank", "url")
 
 

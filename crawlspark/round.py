@@ -629,11 +629,32 @@ def crawl_round(st: CrawlState, r: int) -> dict:
                 )
             ).cast("int"),
         )
-    selected = rank.attach_boosts(
-        rank.select_batch(sched_input, st.robots_df, cfg),
-        cfg,
-        boosts_df=st.boosts_df,
-    )
+    host_capped = rank.select_batch(sched_input, st.robots_df, cfg)
+    n_ip_capped = 0
+    _ipcap_cached = None
+    if cfg.ip_politeness_groups:
+        # per-IP politeness (rank.ip_cap): dropped rows simply never reach
+        # `ordered`, so they stay in the frontier and take the normal
+        # deferral bump — no extra state. The pre-cap count rides a
+        # map-side Observation (pre-shuffle: executed exactly once); the
+        # post-cap count is a real count over the PERSISTED cap output —
+        # NOT a second Observation, because with_seq's scalable path
+        # (range-sampling + sizes jobs) re-executes post-window stages and
+        # double-counts any CollectMetrics above the window shuffle
+        # (measured: post-cap metric = 2× on the CLI path). The persist is
+        # the same batch `ordered` caches anyway, and the count that
+        # materializes it lets with_seq's extra jobs read cache instead of
+        # recomputing the window.
+        obs_ipin = Observation()
+        host_capped = rank.ip_cap(
+            host_capped.observe(obs_ipin, F.count(F.lit(1)).alias("n")),
+            cfg.ip_politeness_groups,
+            cfg.ip_budget,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _ipcap_cached = host_capped
+        n_ip_kept = host_capped.count()  # materializes + resolves obs_ipin
+        n_ip_capped = int(obs_ipin.get["n"]) - n_ip_kept
+    selected = rank.attach_boosts(host_capped, cfg, boosts_df=st.boosts_df)
     seq_df = rank.with_seq(
         rank.cap_round(selected, cfg), scalable=cfg.round_capacity is None
     )
@@ -994,6 +1015,10 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         lineage = lineage.unionByName(
             metrics.scalar_lineage(spark, r, "not_modified", n_not_modified)
         )
+    if cfg.ip_politeness_groups:
+        lineage = lineage.unionByName(
+            metrics.scalar_lineage(spark, r, "ip_capped", n_ip_capped)
+        )
     fetch_m = metrics.fetch_metrics(docs_r, r)
     lm_futures = []
     if cfg.async_lineage_metrics:
@@ -1110,9 +1135,13 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         info_counters["recrawled"] = n_recrawled
     if cfg.conditional_fetch:
         info_counters["not_modified"] = n_not_modified
+    if cfg.ip_politeness_groups:
+        info_counters["ip_capped"] = n_ip_capped
     store.commit_round(r, info_counters)
     if _elig_cached is not None:
         _elig_cached.unpersist()
+    if _ipcap_cached is not None:
+        _ipcap_cached.unpersist()
     ordered.unpersist()
     inner = getattr(ordered, "_cs_cached", None)
     if inner is not None:

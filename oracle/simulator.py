@@ -175,6 +175,24 @@ def simulate(
                 b = max(1, b // mult.get(hh, 1))
             for i, e in enumerate(entries[:b]):
                 selected.append((e, i + 1))
+        # per-IP politeness cap (opt-in cfg.ip_politeness_groups): mirror
+        # rank.ip_cap — group = xxh64(str(host_hash) + '#ip') mod N, each
+        # group keeps its ip_budget best rows in (rank, host_hash, url)
+        # order; dropped rows stay in the frontier (normal deferral)
+        n_ip_capped = 0
+        if cfg.ip_politeness_groups:
+            from crawlspark.xxh64 import hash_str as _hs
+
+            grouped: dict[int, list[tuple[Entry, int]]] = {}
+            for e, rk in selected:
+                g = _hs(f"{e.host_hash}#ip") % cfg.ip_politeness_groups
+                grouped.setdefault(g, []).append((e, rk))
+            kept: list[tuple[Entry, int]] = []
+            for g, lst in grouped.items():
+                lst.sort(key=lambda t: (t[1], t[0].host_hash, t[0].url))
+                kept.extend(lst[: cfg.ip_budget])
+            n_ip_capped = len(selected) - len(kept)
+            selected = kept
         # global cap K in emission order (boost?, host_hash, rank, url)
         # [SPEC §4]; boost = opt-in host-priority table (config.host_boosts,
         # lower first, unlisted hosts 0) — mirrors rank.attach_boosts
@@ -446,6 +464,8 @@ def simulate(
             round_info["recrawled"] = n_recrawled
         if cfg.conditional_fetch:
             round_info["not_modified"] = n_not_modified
+        if cfg.ip_politeness_groups:
+            round_info["ip_capped"] = n_ip_capped
         res.rounds.append(round_info)
         if not frontier and not retry_q:
             break

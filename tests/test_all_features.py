@@ -5,8 +5,8 @@ full engine ⇔ oracle equality plus run+resume exactness. Features tested
 pairwise elsewhere; this is the composition proof: admission quotas over
 quality-filtered candidates from redirect-following retried fetches of
 mirror-deduped content under adaptive politeness, boosts, priority
-aging, closed-loop recrawl re-enqueues, and conditional-refetch (304)
-revalidation."""
+aging, closed-loop recrawl re-enqueues, conditional-refetch (304)
+revalidation, and per-IP politeness caps."""
 
 import shutil
 
@@ -32,6 +32,8 @@ CFG = CrawlConfig(
     recrawl_every=2,
     recrawl_interval=2,
     conditional_fetch=True,
+    ip_politeness_groups=3,
+    ip_budget=10,
 )
 SPEC = FetchSpec(
     media_exts=True, redirect_mod=7, mirror_mod=4, error_mod=6, change_mod=5
@@ -40,6 +42,7 @@ SPEC = FetchSpec(
 COUNTERS = (
     "selected", "new", "frontier", "url_filtered", "content_dups",
     "retry_queue", "quota_dropped", "recrawled", "not_modified",
+    "ip_capped",
 )
 
 
@@ -85,6 +88,7 @@ def test_allfeat_all_counters_equal_and_nonvacuous(all_pair):
     assert totals["quota_dropped"] > 0, "quota never bound"
     assert totals["recrawled"] > 0, "recrawl never re-enqueued"
     assert totals["not_modified"] > 0, "revalidation never produced a 304"
+    assert totals["ip_capped"] > 0, "IP-group cap never bound"
 
 
 def test_allfeat_resume_exactness(spark, all_pair):

@@ -912,6 +912,27 @@ def _q_host_pagerank(spark, sf_dir):
     return linkgraph.host_pagerank(edges, n_iter=4)
 
 
+def _q_host_trustrank(spark, sf_dir):
+    """TrustRank over the host graph (linkgraph.host_trustrank): PageRank
+    with teleport biased to a trusted-seed host set — trust decays with
+    link distance from the seeds, so link-farm hosts that inflate plain
+    PageRank score near-zero trust; the pr/trust gap is the spam-mass
+    signal. Seeds here are the deterministic pseudo-allowlist
+    substr(md5(host),1,1) < '4' (~1/4 of hosts — production passes a
+    curated frame); the oracle unrolls the identical 4 iterations as a
+    CTE chain."""
+    from crawlspark import linkgraph
+
+    edges = linkgraph.host_edges(_docs_with_urls(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.substring(F.md5("host"), 1, 1) < F.lit("4"))
+    return linkgraph.host_trustrank(edges, seeds, n_iter=4)
+
+
 def _q_host_hits(spark, sf_dir):
     """Kleinberg HITS hubs & authorities over the host graph
     (linkgraph.host_hits), fixed 4 iterations, L∞ half-step
@@ -1318,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_boosts_rel": _q_pagerank_boosts_rel,
         "url_trap_stats_approx": _q_url_trap_stats_approx,
         "ip_cap": _q_ip_cap,
+        "host_trustrank": _q_host_trustrank,
         # -- never driver-attested through round 5 ------------------------
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
@@ -2451,6 +2473,41 @@ def _pagerank_sql(dsp: str, dur: str, n_iter: int = 4, damping: float = 0.85) ->
     return s + f"\n        SELECT host, round(pr, 6) AS pr FROM r{n_iter}"
 
 
+def _trustrank_sql(
+    dsp: str, dur: str, n_iter: int = 4, damping: float = 0.85
+) -> str:
+    """Unrolled TrustRank power iteration — the SAME fixed iterations the
+    Spark operator runs with the same md5-rule pseudo-seed set; float
+    literals are Python reprs of the exact doubles the Spark side
+    computes."""
+    d, t = repr(damping), repr(1.0 - damping)
+    s = _linkgraph_prefix(dsp, dur) + """,
+        nodes AS (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL SELECT dst_host AS host FROM edges)),
+        sd AS (SELECT host FROM nodes WHERE substr(md5(host), 1, 1) < '4'),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sd),
+        outw AS (SELECT src_host, SUM(n_links) AS w_out FROM edges GROUP BY src_host),
+        share AS (SELECT e.src_host, e.dst_host,
+                         CAST(e.n_links AS DOUBLE) / o.w_out AS share
+                  FROM edges e JOIN outw o USING (src_host)),
+        sv AS (SELECT nodes.host,
+                      CASE WHEN sd.host IS NOT NULL THEN 1.0 / ns.n
+                           ELSE 0.0 END AS s
+               FROM nodes CROSS JOIN ns
+               LEFT JOIN sd ON nodes.host = sd.host),
+        t0 AS (SELECT host, s AS t FROM sv)"""
+    for k in range(1, n_iter + 1):
+        s += f""",
+        c{k} AS (SELECT sh.dst_host, SUM(r.t * sh.share) AS c
+                 FROM share sh JOIN t{k - 1} r ON sh.src_host = r.host
+                 GROUP BY sh.dst_host),
+        t{k} AS (SELECT sv.host,
+                        {t} * sv.s + {d} * COALESCE(c{k}.c, 0.0) AS t
+                 FROM sv LEFT JOIN c{k} ON sv.host = c{k}.dst_host)"""
+    return s + f"\n        SELECT host, round(t, 6) AS trust FROM t{n_iter}"
+
+
 def _hits_sql(dsp: str, dur: str, n_iter: int = 4) -> str:
     """Unrolled HITS half-steps — the SAME un-normalized fixed iterations
     the Spark operator runs (hub_0 ≡ 1 folded into a1), with one L∞
@@ -2489,6 +2546,7 @@ def _linkgraph_oracle_sql() -> dict[str, str]:
         "host_graph": _linkgraph_prefix(dsp, dur)
         + "\n        SELECT src_host, dst_host, n_links FROM edges",
         "host_pagerank": _pagerank_sql(dsp, dur, n_iter=4),
+        "host_trustrank": _trustrank_sql(dsp, dur, n_iter=4),
         "host_hits": _hits_sql(dsp, dur, n_iter=4),
         "pagerank_boosts_rel": "WITH pr_tbl AS ("
         + _pagerank_sql(dsp, dur, n_iter=4)

@@ -271,6 +271,78 @@ def anchor_stats(docs: DataFrame) -> DataFrame:
     return totals.join(top, "dst_host")
 
 
+def host_trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 4,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) over the
+    weighted host graph: PageRank with teleportation biased to a curated
+    trusted-seed host set instead of uniform — trust flows OUT of seeds
+    along links and decays with distance, so link-farm hosts that inflate
+    plain PageRank through dense mutual linking get near-zero trust
+    (no path from any seed reaches them). The scheduler consumes it like
+    PageRank (``pagerank_boosts_df`` accepts any (host, score) frame);
+    the pr/trust GAP is the classic spam-mass signal.
+
+    t_{k+1}(v) = (1-d)·s(v) + d · Σ_{u→v} t_k(u)·w(u,v)/W_out(u), with
+    s(v) = 1/|S| for seed hosts else 0, t_0 = s. ``seeds`` is any frame
+    with a ``host`` column (production: a human-curated allowlist; the
+    driver query derives a deterministic pseudo-seed set both engines can
+    replay). Seeds absent from the graph are ignored (inner semi-join);
+    |S| is computed INSIDE the plan (1-row broadcast aggregate) so
+    construction stays lazy.
+
+    Same scale/laziness discipline as ``host_pagerank``: fixed iteration
+    count → ONE lazy Catalyst plan, no driver loop state; iterations run
+    over the host-pair edge aggregate (≪ corpus); dangling hosts leak
+    mass (standard simplification — ordering unaffected). Output rounded
+    to 6 dp at the END only."""
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seed_nodes = nodes.join(
+        seeds.select("host").distinct(), "host", "semi"
+    )
+    n_s = seed_nodes.agg(F.count(F.lit(1)).cast("double").alias("n_seeds"))
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("w_out"))
+    share = edges.join(out_w, "src_host").select(
+        "src_host",
+        "dst_host",
+        (F.col("n_links").cast("double") / F.col("w_out")).alias("share"),
+    )
+    base = (
+        nodes.join(seed_nodes.withColumn("_s", F.lit(1.0)), "host", "left")
+        .crossJoin(F.broadcast(n_s))
+        .select(
+            "host",
+            (F.coalesce(F.col("_s"), F.lit(0.0)) / F.col("n_seeds")).alias("s"),
+        )
+    )
+    trust = base.select("host", "s", F.col("s").alias("t"))
+    for _ in range(n_iter):
+        contrib = (
+            share.join(trust, share["src_host"] == trust["host"])
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("t") * F.col("share")).alias("c"))
+        )
+        trust = (
+            base.join(contrib, base["host"] == contrib["dst_host"], "left")
+            .select(
+                "host",
+                "s",
+                (
+                    (1.0 - damping) * F.col("s")
+                    + damping * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("t"),
+            )
+        )
+    return trust.select("host", F.round("t", 6).alias("trust"))
+
+
 def host_hits(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     """Kleinberg HITS over the weighted host graph:
     (src_host, dst_host, n_links) → (host, hub, auth).

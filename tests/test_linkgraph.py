@@ -196,3 +196,74 @@ def test_hits_lazy_and_parallelism_invariant(spark, small_docs):
         )
     )
     assert a == b
+
+
+def test_trustrank_planted_spam_clique(spark):
+    """TrustRank semantics on a planted graph: trust flows only OUT of
+    seeds, so a link clique unreachable from any seed — the link-farm
+    shape that inflates plain PageRank — gets exactly 0 trust, while
+    every seed-reachable host gets > 0. Also: numpy power-iteration
+    reference, laziness, and parallelism invariance."""
+    docs = _docs(
+        spark,
+        [
+            # trusted side: seed -> b -> c (chain)
+            ("d0", "http://seed.example/", [_span("link", "b", "http://b.example/", 0)]),
+            ("d1", "http://b.example/", [_span("link", "c", "http://c.example/", 0)]),
+            # spam clique x <-> y, also linking INTO the trusted side
+            # (inlinks must not manufacture trust)
+            (
+                "d2",
+                "http://x.example/",
+                [
+                    _span("link", "y", "http://y.example/", 0),
+                    _span("link", "b", "http://b.example/", 1),
+                ],
+            ),
+            ("d3", "http://y.example/", [_span("link", "x", "http://x.example/", 0)]),
+        ],
+    )
+    edges = linkgraph.host_edges(docs)
+    seeds = spark.createDataFrame([("seed.example",)], "host string")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    df = linkgraph.host_trustrank(edges, seeds, n_iter=4)
+    assert len(tracker.getJobIdsForGroup(None)) == before, (
+        "host_trustrank construction must not run a job"
+    )
+
+    got = {r["host"]: r["trust"] for r in df.collect()}
+    assert got["x.example"] == 0.0 and got["y.example"] == 0.0
+    assert got["seed.example"] > 0 and got["b.example"] > 0
+    assert got["c.example"] > 0
+    # plain PageRank scores the clique ABOVE zero — the gap TrustRank closes
+    pr = {r["host"]: r["pr"] for r in linkgraph.host_pagerank(edges, n_iter=4).collect()}
+    assert pr["x.example"] > 0 and pr["y.example"] > 0
+
+    # numpy reference: t_{k+1} = (1-d) s + d Share^T t
+    import numpy as np
+
+    hosts = sorted(got)
+    idx = {h: i for i, h in enumerate(hosts)}
+    w = np.zeros((len(hosts), len(hosts)))
+    for r in edges.collect():
+        w[idx[r["src_host"]], idx[r["dst_host"]]] += r["n_links"]
+    out = w.sum(axis=1, keepdims=True)
+    share = np.divide(w, out, out=np.zeros_like(w), where=out > 0)
+    s = np.zeros(len(hosts))
+    s[idx["seed.example"]] = 1.0
+    t = s.copy()
+    for _ in range(4):
+        t = (1.0 - 0.85) * s + 0.85 * (share.T @ t)
+    for h in hosts:
+        assert got[h] == pytest.approx(t[idx[h]], abs=2e-6)
+
+    # parallelism invariance of the rounded output
+    b = {
+        r["host"]: r["trust"]
+        for r in linkgraph.host_trustrank(
+            linkgraph.host_edges(docs.repartition(7)), seeds, n_iter=4
+        ).collect()
+    }
+    assert got == b

@@ -593,6 +593,19 @@ def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact φ-heavy hitters (textops.heavy_hitters): two-pass
+    Misra–Gries candidates → exact confirm, never a full-vocabulary
+    aggregate; φ=0.032 splits the driver corpus non-vacuously (the
+    sketch pass AND the threshold both bind). The oracle is the exact
+    one-pass SQL the operator must equal."""
+    from crawlspark import textops
+
+    return textops.heavy_hitters(
+        _tpch(spark, sf_dir, "documents"), phi=0.032
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from crawlspark import textops
 
@@ -1340,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_trap_stats_approx": _q_url_trap_stats_approx,
         "ip_cap": _q_ip_cap,
         "host_trustrank": _q_host_trustrank,
+        "heavy_hitters": _q_heavy_hitters,
         # -- never driver-attested through round 5 ------------------------
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
@@ -1742,6 +1756,16 @@ def _textops_oracle_sql() -> dict[str, str]:
                      substr(md5(CAST(doc_id AS VARCHAR) || '#smp'), 1, 2) AS b2
               FROM documents)
             WHERE b2 < CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN 'c0' WHEN 'src2' THEN '80' WHEN 'src3' THEN '40' ELSE '20' END
+            """,
+        "heavy_hitters": f"""
+            WITH w AS (SELECT {_WORDS} AS ws FROM documents),
+            e AS (SELECT unnest(ws) AS token FROM w),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+            c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM e GROUP BY token)
+            SELECT token, cnt, round(CAST(cnt AS DOUBLE) / tot.n, 6) AS frac
+            FROM c CROSS JOIN tot
+            WHERE CAST(cnt AS DOUBLE) > CAST(0.032 AS DOUBLE) * tot.n
             """,
         "token_stats": f"""
             SELECT doc_id, len({_WORDS}) AS n_ws_tokens,

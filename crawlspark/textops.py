@@ -1399,3 +1399,89 @@ def dsir_logweights(
         F.round("_logw", 6).alias("logw"),
         F.round(F.col("_logw") - F.log(-F.log(u)), 6).alias("sample_key"),
     )
+
+
+def mg_candidates(tokens: DataFrame, k: int) -> DataFrame:
+    """Pass 1 of exact heavy hitters: per-partition Misra–Gries summaries
+    (Misra & Gries 1982; merge rule from Agarwal et al., "Mergeable
+    Summaries", PODS 2012). Each partition streams its Arrow batches
+    through a k-counter summary: add the batch's value_counts, and
+    whenever the summary exceeds k entries subtract the (k+1)-th largest
+    count from ALL entries and drop the non-positive ones (one vectorized
+    pandas step — a legal batched MG decrement). Memory is O(k) per
+    partition regardless of vocabulary size — THE reason this exists
+    instead of a full groupBy: at web scale the token vocabulary is
+    corpus-sized, but the summary never is.
+
+    Guarantee (the one pass 2 relies on): each decrement removes ≥ (k+1)·d
+    mass, so a partition's total undercount is ≤ N_p/(k+1); a token
+    dropped from EVERY partition summary therefore has global count
+    ≤ Σ N_p/(k+1) = N/(k+1). With k ≥ 1/φ, every true φ-heavy hitter
+    survives in at least one summary. The candidate SET depends on
+    partitioning (it may include extras and varies with parallelism) —
+    only ``heavy_hitters``' exact pass-2 output is deterministic."""
+    import pandas as pd
+
+    kk = int(k)
+
+    def summarize(batches):
+        s = pd.Series(dtype="int64")
+        for pdf in batches:
+            s = s.add(pdf["token"].value_counts(), fill_value=0)
+            if len(s) > kk:
+                d = s.nlargest(kk + 1).iloc[-1]
+                s = s[s > d] - d
+        yield pd.DataFrame({"token": s.index.astype(str)})
+
+    return tokens.mapInPandas(summarize, "token string")
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    phi: float = 0.01,
+    text_col: str = "text",
+    k: int | None = None,
+    broadcast_candidates: bool | None = None,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """EXACT φ-heavy hitters — every token with count > φ·N, N = total
+    token occurrences — in two passes, never materializing a full
+    vocabulary aggregate:
+
+    1. ``mg_candidates`` (O(k)-memory Misra–Gries per partition,
+       k = ceil(2/φ) so the survival bound N/(k+1) < φN/2 has 2× slack);
+       the distinct union is ≤ k·P rows — sketch-sized, not vocab-sized.
+    2. exact count of ONLY the candidate slice (semi-join; broadcast
+       gated by measured size per the BROADCAST_MAX_ROWS discipline —
+       k·P can be large when φ is tiny and P is web-scale) and the
+       φ·N threshold, N from a 1-row broadcast aggregate.
+
+    The output is exact, so it is parallelism-invariant even though the
+    intermediate candidate set is not (tests assert both). Returns
+    (token, cnt, frac) with frac rounded to 6 dp; threshold compares
+    doubles identically in Spark and the DuckDB oracle."""
+    import math
+
+    tokens = docs.select(F.explode(words_col(text_col)).alias("token"))
+    if k is None:
+        k = max(1, math.ceil(2.0 / phi))
+    cands = mg_candidates(tokens, k).distinct()
+    n1 = tokens.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    counted = (
+        tokens.join(
+            _gated_broadcast(cands, broadcast_candidates, broadcast_max_rows),
+            "token",
+            "semi",
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(n1))
+        .filter(F.col("cnt").cast("double") > F.lit(float(phi)) * F.col("n_total"))
+        .select(
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 6).alias("frac"),
+        )
+    )

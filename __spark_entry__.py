@@ -946,6 +946,28 @@ def _q_host_trustrank(spark, sf_dir):
     return linkgraph.host_trustrank(edges, seeds, n_iter=4)
 
 
+def _q_spam_mass(spark, sf_dir):
+    """Relative spam mass (linkgraph.spam_mass): the share of a host's
+    PageRank that seed-reachable trust does NOT account for —
+    (pr − trust·Σpr/Σtrust)/pr over the two rounded rank vectors
+    (same graph, same 4 iterations, same md5-rule pseudo-seeds as
+    host_trustrank); the oracle composes the identical unrolled CTE
+    chains."""
+    from crawlspark import linkgraph
+
+    edges = linkgraph.host_edges(_docs_with_urls(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.substring(F.md5("host"), 1, 1) < F.lit("4"))
+    return linkgraph.spam_mass(
+        linkgraph.host_pagerank(edges, n_iter=4),
+        linkgraph.host_trustrank(edges, seeds, n_iter=4),
+    )
+
+
 def _q_host_hits(spark, sf_dir):
     """Kleinberg HITS hubs & authorities over the host graph
     (linkgraph.host_hits), fixed 4 iterations, L∞ half-step
@@ -1354,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_cap": _q_ip_cap,
         "host_trustrank": _q_host_trustrank,
         "heavy_hitters": _q_heavy_hitters,
+        "spam_mass": _q_spam_mass,
         # -- never driver-attested through round 5 ------------------------
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
@@ -2571,6 +2594,16 @@ def _linkgraph_oracle_sql() -> dict[str, str]:
         + "\n        SELECT src_host, dst_host, n_links FROM edges",
         "host_pagerank": _pagerank_sql(dsp, dur, n_iter=4),
         "host_trustrank": _trustrank_sql(dsp, dur, n_iter=4),
+        "spam_mass": "WITH prt AS ("
+        + _pagerank_sql(dsp, dur, n_iter=4)
+        + "), trt AS ("
+        + _trustrank_sql(dsp, dur, n_iter=4)
+        + """),
+        sums AS (SELECT (SELECT SUM(pr) FROM prt)
+                        / (SELECT SUM(trust) FROM trt) AS scale)
+        SELECT p.host, p.pr, t.trust,
+               round((p.pr - t.trust * s.scale) / p.pr, 6) AS spam_mass
+        FROM prt p JOIN trt t ON p.host = t.host CROSS JOIN sums s""",
         "host_hits": _hits_sql(dsp, dur, n_iter=4),
         "pagerank_boosts_rel": "WITH pr_tbl AS ("
         + _pagerank_sql(dsp, dur, n_iter=4)

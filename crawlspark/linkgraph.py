@@ -343,6 +343,37 @@ def host_trustrank(
     return trust.select("host", F.round("t", 6).alias("trust"))
 
 
+def spam_mass(pr: DataFrame, trust: DataFrame) -> DataFrame:
+    """Relative spam mass (Gyöngyi et al.): how much of a host's PageRank
+    is NOT accounted for by seed-reachable trust. Inputs are the ROUNDED
+    outputs of ``host_pagerank`` (host, pr) and ``host_trustrank``
+    (host, trust) — composing the already-rounded values keeps the
+    arithmetic bit-identical across engines. Trust is rescaled to
+    PageRank's total mass (Σpr/Σtrust, two 1-row broadcast aggregates —
+    the teleport vectors distribute different totals), then
+    m(v) = (pr(v) − trust(v)·scale) / pr(v), rounded to 6 dp; pr has the
+    (1-d)/N floor so the division is always defined. High m ≈ rank
+    manufactured by link structure no trusted seed endorses — the
+    demotion signal. One host-cardinality inner join; no new iteration."""
+    sums = (
+        pr.agg(F.sum("pr").alias("pr_sum"))
+        .crossJoin(trust.agg(F.sum("trust").alias("t_sum")))
+        .select((F.col("pr_sum") / F.col("t_sum")).alias("scale"))
+    )
+    return (
+        pr.join(trust, "host")
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "host",
+            "pr",
+            "trust",
+            F.round(
+                (F.col("pr") - F.col("trust") * F.col("scale")) / F.col("pr"), 6
+            ).alias("spam_mass"),
+        )
+    )
+
+
 def host_hits(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     """Kleinberg HITS over the weighted host graph:
     (src_host, dst_host, n_links) → (host, hub, auth).

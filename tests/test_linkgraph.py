@@ -267,3 +267,15 @@ def test_trustrank_planted_spam_clique(spark):
         ).collect()
     }
     assert got == b
+
+    # spam mass: the zero-trust clique has ALL of its PageRank
+    # unaccounted for (m = 1.0); the seed keeps most of its own
+    pr_df = linkgraph.host_pagerank(edges, n_iter=4)
+    tr_df = linkgraph.host_trustrank(edges, seeds, n_iter=4)
+    sm = {
+        r["host"]: r["spam_mass"]
+        for r in linkgraph.spam_mass(pr_df, tr_df).collect()
+    }
+    assert sm["x.example"] == 1.0 and sm["y.example"] == 1.0
+    assert sm["seed.example"] < 0.5
+    assert all(m <= 1.0 for m in sm.values())

@@ -1330,6 +1330,20 @@ def _bm25_values_sql() -> str:
     return ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
 
 
+# phrase fixtures: verified non-vacuous at sf0.01 (tens of hits each);
+# (2) exercises the repeated-term slot logic, (3) the trigram path
+_PHRASE_QUERIES = [
+    (0, "hash join"),
+    (1, "scan filter"),
+    (2, "hash hash"),
+    (3, "the hash join"),
+]
+
+
+def _phrase_values_sql() -> str:
+    return ", ".join(f"({i}, '{t}')" for i, t in _PHRASE_QUERIES)
+
+
 def _q_postings_stats(spark, sf_dir):
     """Inverted-index dictionary stats (df>=2 pruning, the hapax-drop a
     real dictionary cache does): one explode + two map-side-combinable
@@ -1348,6 +1362,21 @@ def _q_bm25_topk(spark, sf_dir):
 
     qdf = spark.createDataFrame(_BM25_QUERIES, "query_id bigint, qtext string")
     return retrieval.bm25_topk(_tpch(spark, sf_dir, "documents"), qdf, k=10)
+
+
+def _q_phrase_search(spark, sf_dir):
+    """Exact phrase search by anchor alignment (retrieval.phrase_search):
+    every matched token votes for its implied phrase-start position; an
+    occurrence exists where all n_terms slots agree. Fixed 4-phrase set
+    incl. a repeated-term phrase and a trigram; returns per-(query, doc)
+    occurrence counts. Phrase side broadcast, corpus pays one posexplode
+    scan; the oracle re-derives the identical anchor algebra."""
+    from crawlspark import retrieval
+
+    pdf = spark.createDataFrame(
+        _PHRASE_QUERIES, "query_id bigint, phrase string"
+    )
+    return retrieval.phrase_search(_tpch(spark, sf_dir, "documents"), pdf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1377,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": _q_host_trustrank,
         "heavy_hitters": _q_heavy_hitters,
         "spam_mass": _q_spam_mass,
+        "phrase_search": _q_phrase_search,
         # -- never driver-attested through round 5 ------------------------
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
@@ -2131,6 +2161,31 @@ def _textops_oracle_sql() -> dict[str, str]:
             SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
                    CAST(SUM(tf) AS BIGINT) AS cf
             FROM p GROUP BY token HAVING COUNT(*) >= 2
+            """,
+        "phrase_search": f"""
+            WITH q(query_id, phrase) AS (VALUES {_phrase_values_sql()}),
+            qw AS (SELECT query_id,
+                          list_filter(string_split(lower(phrase), ' '),
+                                      x -> x <> '') AS ws
+                   FROM q),
+            qt AS (SELECT query_id, unnest(ws) AS token,
+                          unnest(range(len(ws))) AS term_pos
+                   FROM qw),
+            ql AS (SELECT query_id, len(ws) AS n_terms FROM qw),
+            dw AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            dt AS (SELECT doc_id, unnest(ws) AS token,
+                          unnest(range(len(ws))) AS pos
+                   FROM dw),
+            h AS (SELECT qt.query_id, dt.doc_id,
+                         dt.pos - qt.term_pos AS anchor, qt.term_pos
+                  FROM dt JOIN qt USING (token)),
+            o AS (SELECT query_id, doc_id, anchor,
+                         COUNT(DISTINCT term_pos) AS nt
+                  FROM h GROUP BY 1, 2, 3)
+            SELECT o.query_id, o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM o JOIN ql USING (query_id)
+            WHERE o.nt = ql.n_terms
+            GROUP BY 1, 2
             """,
         "bm25_topk": f"""
             WITH q(query_id, qtext) AS (VALUES {_bm25_values_sql()}),

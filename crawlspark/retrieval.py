@@ -133,3 +133,62 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score")
     )
+
+
+def positional_postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Positional inverted-index postings: one row per (token, doc_id)
+    with the sorted 0-based position list — the index shape phrase and
+    proximity queries need. Same scale shape as ``postings``: one
+    posexplode + one keyed aggregate (collect_list partials merge
+    map-side; sort_array pins the order regardless of partitioning)."""
+    w = docs.select(
+        "doc_id", F.posexplode(words_col(text_col)).alias("pos", "token")
+    )
+    return w.groupBy("token", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_search(
+    docs: DataFrame, phrases: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact phrase search by ANCHOR alignment — the distributed form of
+    a positional-index intersection. Each matched (doc token ⋈ phrase
+    term) pair votes for the phrase-START position ``anchor = pos −
+    term_pos``; a real occurrence at anchor p supplies ALL n_terms
+    distinct term slots at that anchor (repeated phrase terms like
+    "hash hash" are handled exactly: each slot must be matched at its
+    own offset). Returns (query_id, doc_id, n_hits) for docs with ≥1
+    occurrence; n_hits counts occurrences (overlapping ones included).
+
+    Scale shape: the phrase side is the only broadcast (terms + lengths,
+    query-sized); the corpus pays ONE posexplode scan whose join output
+    is only the tokens that appear in some phrase — then one keyed
+    aggregate on (query_id, doc_id, anchor), map-side combinable,
+    bounded by matched occurrences. No window, no full-index
+    materialization, nothing corpus-derived broadcast."""
+    qterms = phrases.select(
+        "query_id",
+        F.posexplode(words_col("phrase")).alias("term_pos", "token"),
+    )
+    qlen = phrases.select(
+        "query_id", F.size(words_col("phrase")).alias("n_terms")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(words_col(text_col)).alias("pos", "token")
+    )
+    hits = toks.join(F.broadcast(qterms), "token").select(
+        "query_id",
+        "doc_id",
+        (F.col("pos") - F.col("term_pos")).alias("anchor"),
+        "term_pos",
+    )
+    occ = (
+        hits.groupBy("query_id", "doc_id", "anchor")
+        .agg(F.count_distinct("term_pos").alias("nt"))
+        .join(F.broadcast(qlen), "query_id")
+        .filter(F.col("nt") == F.col("n_terms"))
+    )
+    return occ.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )

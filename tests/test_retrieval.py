@@ -121,3 +121,57 @@ def test_bm25_k_caps_and_partition_invariance(spark, docs):
     assert sk == sorted(
         (r.query_id, r.doc_id, r.rank, r.score) for r in full.collect()
     )
+
+
+def test_positional_postings_exact(spark):
+    docs = spark.createDataFrame(
+        [("d0", "a b a b a"), ("d1", "b  b")], "doc_id string, text string"
+    )
+    got = {
+        (r["token"], r["doc_id"]): r["positions"]
+        for r in retrieval.positional_postings(docs).collect()
+    }
+    assert got == {
+        ("a", "d0"): [0, 2, 4],
+        ("b", "d0"): [1, 3],
+        ("b", "d1"): [0, 1],  # double space: empties filtered, 0-based
+    }
+
+
+def test_phrase_search_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d0", "x a b a b a y"),   # "a b a": overlapping occurrences
+            ("d1", "a b c"),           # "a b" once, no "a b a"
+            ("d2", "b a b"),           # "a b" once (mid), "b a b" once
+            ("d3", "a a a"),           # repeated-term phrase "a a" twice
+            ("d4", "c c c"),           # no phrase terms at all
+        ],
+        "doc_id string, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, "a b"), (1, "a b a"), (2, "a a"), (3, "q z")],
+        "query_id bigint, phrase string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_hits"]
+        for r in retrieval.phrase_search(docs, phrases).collect()
+    }
+    assert got == {
+        (0, "d0"): 2,   # anchors 1 and 3
+        (0, "d1"): 1,
+        (0, "d2"): 1,
+        (1, "d0"): 2,   # OVERLAPPING "a b a" at anchors 1 and 3
+        (2, "d3"): 2,   # "a a" at anchors 0 and 1 — repeated term slots
+        # no (3, *): out-of-vocabulary phrase matches nothing
+        # no (*, d4): doc without phrase tokens never appears
+    }
+    # a doc with only a PARTIAL slot match must not appear: "b a b" has
+    # both tokens of "a b a" but no aligned anchor with all 3 slots
+    assert (1, "d2") not in got and (1, "d1") not in got
+    # parallelism invariance
+    got7 = {
+        (r["query_id"], r["doc_id"]): r["n_hits"]
+        for r in retrieval.phrase_search(docs.repartition(7), phrases).collect()
+    }
+    assert got == got7

@@ -593,6 +593,18 @@ def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM score per doc (textops.bigram_logprob) —
+    the CCNet perplexity-bucket signal one rung above unigram_logprob:
+    first word unigram-only with the 0.5/T OOV floor, then
+    log(0.7·P_bi + 0.3·P_uni) per following word, bigram table pruned at
+    min_count=2; the oracle re-derives the identical chain with
+    Python-repr double literals."""
+    from crawlspark import textops
+
+    return textops.bigram_logprob(_tpch(spark, sf_dir, "documents"))
+
+
 def _q_heavy_hitters(spark, sf_dir):
     """Exact φ-heavy hitters (textops.heavy_hitters): two-pass
     Misra–Gries candidates → exact confirm, never a full-vocabulary
@@ -1407,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "spam_mass": _q_spam_mass,
         "phrase_search": _q_phrase_search,
+        "bigram_logprob": _q_bigram_logprob,
         # -- never driver-attested through round 5 ------------------------
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
@@ -1809,6 +1822,43 @@ def _textops_oracle_sql() -> dict[str, str]:
                      substr(md5(CAST(doc_id AS VARCHAR) || '#smp'), 1, 2) AS b2
               FROM documents)
             WHERE b2 < CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN 'c0' WHEN 'src2' THEN '80' WHEN 'src3' THEN '40' ELSE '20' END
+            """,
+        "bigram_logprob": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS w,
+                           unnest(range(len(ws))) AS pos FROM w),
+            uni AS (SELECT w, COUNT(*) AS cu FROM tok GROUP BY w),
+            tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS total FROM uni),
+            bgx AS (SELECT doc_id, unnest({_sh_sql(2)}) AS bg FROM w),
+            bga AS (SELECT bg, COUNT(*) AS cb FROM bgx GROUP BY bg),
+            ctx AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(cb) AS cctx
+                    FROM bga GROUP BY 1),
+            bgk AS (SELECT * FROM bga WHERE cb >= 2),
+            firstw AS (
+              SELECT doc_id,
+                     ln(COALESCE(CAST(uni.cu AS DOUBLE), 0.5) / tot.total)
+                       AS logp,
+                     CAST(NULL AS INTEGER) AS hit
+              FROM tok LEFT JOIN uni USING (w) CROSS JOIN tot
+              WHERE pos = 0),
+            dbg AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+                           split_part(bg, ' ', 2) AS w2 FROM bgx),
+            scored AS (
+              SELECT d.doc_id,
+                     ln({0.7!r} * COALESCE(CAST(k.cb AS DOUBLE)
+                                           / CAST(c.cctx AS DOUBLE), 0.0)
+                        + {1.0 - 0.7!r} * COALESCE(CAST(u2.cu AS DOUBLE), 0.5)
+                          / tot.total) AS logp,
+                     CASE WHEN k.cb IS NOT NULL THEN 1 ELSE 0 END AS hit
+              FROM dbg d LEFT JOIN bgk k USING (bg)
+                   LEFT JOIN ctx c USING (w1)
+                   LEFT JOIN uni u2 ON d.w2 = u2.w CROSS JOIN tot),
+            allr AS (SELECT * FROM firstw UNION ALL SELECT * FROM scored)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hit_bigrams,
+                   round(AVG(logp), 6) AS mean_logprob
+            FROM allr GROUP BY doc_id
             """,
         "heavy_hitters": f"""
             WITH w AS (SELECT {_WORDS} AS ws FROM documents),

@@ -1485,3 +1485,112 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.col("n_total"), 6).alias("frac"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    min_count: int = 2,
+    lam: float = 0.7,
+    broadcast_model: bool | None = None,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Interpolated bigram language-model score per doc — the next rung
+    of the CCNet perplexity-bucketing ladder above ``unigram_logprob``
+    (CCNet filters on a KenLM 5-gram; a corpus-self-trained interpolated
+    bigram is the train-free sandbox analog with the same join algebra a
+    real n-gram table would need). Chain rule: the first word scores
+    unigram-only (with the same 0.5/T OOV floor as unigram_logprob);
+    every following word scores log(λ·P_bi(w|prev) + (1−λ)·P_uni(w)),
+    where an unseen-or-pruned bigram contributes P_bi = 0 and the
+    unigram back-off keeps the log defined. Returns per-doc
+    (doc_id, n_words, n_bigrams, n_hit_bigrams, mean_logprob[6dp]);
+    low = gibberish, high = repetitive boilerplate.
+
+    Scale shape: TWO corpus-wide keyed aggregates (unigram counts →
+    vocab-sized; bigram counts with min_count pruning → pair-vocabulary-
+    sized), each joined back against the exploded corpus KEYED — both
+    model tables are corpus-derived, so they are broadcast-hinted only
+    while they MEASURE under `broadcast_max_rows` (the line_dedup /
+    unigram_logprob discipline); context totals derive from the UNPRUNED
+    bigram aggregate by first-token re-aggregation (vocab-sized). One
+    per-doc aggregate at the end. Nothing corpus-derived is
+    unconditionally broadcast; λ-arithmetic uses Python-computed double
+    literals so the DuckDB twin is bit-identical."""
+    w = docs.select("doc_id", F.posexplode(words_col()).alias("pos", "w"))
+    uni = w.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("total"))  # 1 row, broadcast below
+    bg_all = (
+        docs.select(
+            "doc_id", F.explode(shingles_col(words_col(), 2)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = (
+        bg_all.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"), "cb")
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cctx"))
+    )
+    bg_kept = bg_all.filter(F.col("cb") >= min_count)
+
+    first = (
+        w.filter(F.col("pos") == 0)
+        .join(_gated_broadcast(uni, broadcast_model, broadcast_max_rows), "w", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                F.coalesce(F.col("cu").cast("double"), F.lit(0.5))
+                / F.col("total").cast("double")
+            ).alias("logp"),
+            F.lit(None).cast("int").alias("hit"),
+        )
+    )
+    dbg = docs.select(
+        "doc_id", F.explode(shingles_col(words_col(), 2)).alias("bg")
+    ).select(
+        "doc_id",
+        "bg",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    lam = float(lam)
+    one_m = 1.0 - lam
+    scored = (
+        dbg.join(_gated_broadcast(bg_kept, broadcast_model, broadcast_max_rows), "bg", "left")
+        .join(_gated_broadcast(ctx, broadcast_model, broadcast_max_rows), "w1", "left")
+        .join(
+            _gated_broadcast(
+                uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cu2"),
+                broadcast_model,
+                broadcast_max_rows,
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(lam)
+                * F.coalesce(
+                    F.col("cb").cast("double") / F.col("cctx").cast("double"),
+                    F.lit(0.0),
+                )
+                + F.lit(one_m)
+                * F.coalesce(F.col("cu2").cast("double"), F.lit(0.5))
+                / F.col("total").cast("double")
+            ).alias("logp"),
+            F.col("cb").isNotNull().cast("int").alias("hit"),
+        )
+    )
+    return (
+        first.unionByName(scored)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit_bigrams"),
+            F.round(F.avg("logp"), 6).alias("mean_logprob"),
+        )
+    )

@@ -627,3 +627,45 @@ def test_dsir_deterministic_and_parallelism_invariant(spark, docs):
     # resampling order is a strict total order) and differ from raw logw
     keys = [r[3] for r in a]
     assert len(set(keys)) == len(keys)
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Interpolated bigram LM (textops.bigram_logprob) against a fully
+    hand-derived corpus: unigram floor for the first word and OOV,
+    pruned-bigram back-off, hit accounting, and invariance."""
+    import math
+
+    from crawlspark import textops
+
+    docs = spark.createDataFrame(
+        [("d0", "a b a b"), ("d1", "a b c"), ("d2", "z")],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in textops.bigram_logprob(docs, min_count=2, lam=0.7).collect()
+    }
+    # corpus: a:3 b:3 c:1 z:1, T=8; bigrams "a b":3 (kept), "b a":1,
+    # "b c":1 (both pruned); ctx a->3, b->2
+    lam, om, T = 0.7, 1.0 - 0.7, 8.0
+    ab = math.log(lam * (3 / 3) + om * (3 / T))
+    ba = math.log(om * (3 / T))
+    bc = math.log(om * (1 / T))
+    assert rows["d0"]["mean_logprob"] == round(
+        (math.log(3 / T) + ab + ba + ab) / 4, 6
+    )
+    assert rows["d1"]["mean_logprob"] == round(
+        (math.log(3 / T) + ab + bc) / 3, 6
+    )
+    # single-word doc: unigram only, zero bigrams
+    assert rows["d2"]["mean_logprob"] == round(math.log(1 / T), 6)
+    assert rows["d2"]["n_bigrams"] == 0 and rows["d2"]["n_hit_bigrams"] == 0
+    assert rows["d0"]["n_hit_bigrams"] == 2 and rows["d1"]["n_hit_bigrams"] == 1
+
+    got7 = {
+        r["doc_id"]: r.asDict()
+        for r in textops.bigram_logprob(
+            docs.repartition(7), min_count=2, lam=0.7
+        ).collect()
+    }
+    assert rows == got7

@@ -593,6 +593,17 @@ def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_group_sample(spark, sf_dir):
+    """Deterministic fixed-count per-source sample (textops.group_sample,
+    n=20): exactly min(20, |source|) docs per source in md5(doc_id∥'#gs')
+    order — the seedless eval-set builder; WindowGroupLimit pre-trims
+    below the exchange (PLANS.md). The oracle replays the identical
+    ROW_NUMBER-over-md5 draw."""
+    from crawlspark import textops
+
+    return textops.group_sample(_tpch(spark, sf_dir, "documents"), 20)
+
+
 def _q_bigram_logprob(spark, sf_dir):
     """Interpolated bigram LM score per doc (textops.bigram_logprob) —
     the CCNet perplexity-bucket signal one rung above unigram_logprob:
@@ -1420,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": _q_spam_mass,
         "phrase_search": _q_phrase_search,
         "bigram_logprob": _q_bigram_logprob,
+        "group_sample": _q_group_sample,
         # -- never driver-attested through round 5 ------------------------
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
@@ -1822,6 +1834,16 @@ def _textops_oracle_sql() -> dict[str, str]:
                      substr(md5(CAST(doc_id AS VARCHAR) || '#smp'), 1, 2) AS b2
               FROM documents)
             WHERE b2 < CASE source WHEN 'src0' THEN 'zz' WHEN 'src1' THEN 'c0' WHEN 'src2' THEN '80' WHEN 'src3' THEN '40' ELSE '20' END
+            """,
+        "group_sample": """
+            SELECT doc_id, source, CAST(smp_rank AS INTEGER) AS smp_rank
+            FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#gs'))
+                       AS smp_rank
+              FROM documents)
+            WHERE smp_rank <= 20
             """,
         "bigram_logprob": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),

@@ -1594,3 +1594,30 @@ def bigram_logprob(
             F.round(F.avg("logp"), 6).alias("mean_logprob"),
         )
     )
+
+
+def group_sample(
+    docs: DataFrame, n_per_group: int, group_col: str = "source"
+) -> DataFrame:
+    """Deterministic fixed-COUNT per-group sample — exactly
+    min(n, group_size) docs per group, the eval-set/inspection-set
+    builder that complements ``hash_sample``'s fixed-RATE sampling.
+    Selection order is md5(doc_id ∥ '#gs') — a seedless uniform draw
+    both engines replay exactly, independent of partitioning and of any
+    upstream sort; doc_id uniqueness makes the order total.
+
+    Scale shape: ONE window partitioned by the group column; the
+    row_number ≤ n filter compiles to WindowGroupLimit, so every input
+    partition pre-trims to n rows per group BEFORE the exchange —
+    shuffle volume is bounded by n·groups·partitions, not corpus size.
+    Skewed group sizes don't matter: the post-limit partition holds at
+    most n·P rows per group."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#gs")))
+    w = Window.partitionBy(group_col).orderBy(key.asc())
+    return (
+        docs.select("doc_id", group_col)
+        .withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= F.lit(int(n_per_group)))
+    )

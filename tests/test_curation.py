@@ -669,3 +669,31 @@ def test_bigram_logprob_hand_computed(spark):
         ).collect()
     }
     assert rows == got7
+
+
+def test_group_sample_exact_counts_and_invariance(spark):
+    from crawlspark import textops
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(50)] + [(100, "tiny")],
+        "doc_id long, source string",
+    )
+    got = textops.group_sample(docs, 5).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append((r["smp_rank"], r["doc_id"]))
+    # exactly n per big group, min(n, size) for the 1-doc group
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "src0": 5, "src1": 5, "src2": 5, "tiny": 1,
+    }
+    # ranks are 1..k dense per group
+    for v in by_src.values():
+        assert sorted(r for r, _ in v) == list(range(1, len(v) + 1))
+    # parallelism invariance of the full draw
+    a = sorted(map(tuple, got))
+    b = sorted(map(tuple, textops.group_sample(docs.repartition(13), 5).collect()))
+    assert a == b
+    # the WindowGroupLimit scale shape is real: rank<=n appears as a
+    # group-limit in the optimized physical plan
+    plan = textops.group_sample(docs, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

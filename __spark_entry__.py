@@ -593,6 +593,24 @@ def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_fuzzy_decontaminate(spark, sf_dir):
+    """Fuzzy benchmark decontamination (textops.fuzzy_decontaminate):
+    bipartite MinHash-LSH candidates verified by exact shingle Jaccard —
+    catches near-duplicate eval leakage that verbatim `decontaminate`
+    misses. The bench side is PLANTED deterministically (every doc_id %
+    41 == 0 doc with one appended token — the hash-derived-variant
+    trick), so hits are guaranteed non-vacuous and both engines replay
+    the identical universe."""
+    from crawlspark import textops
+
+    docs = _tpch(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return textops.fuzzy_decontaminate(docs, bench, threshold=0.5)
+
+
 def _q_group_sample(spark, sf_dir):
     """Deterministic fixed-count per-source sample (textops.group_sample,
     n=20): exactly min(20, |source|) docs per source in md5(doc_id∥'#gs')
@@ -1432,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "bigram_logprob": _q_bigram_logprob,
         "group_sample": _q_group_sample,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         # -- never driver-attested through round 5 ------------------------
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
@@ -1800,6 +1819,45 @@ def _textops_oracle_sql() -> dict[str, str]:
                               / g.n_words
                          ELSE 0.0 END, 6) AS top_word_frac
             FROM g LEFT JOIN tc ON tc.doc_id = g.doc_id
+            """,
+        "fuzzy_decontaminate": f"""
+            WITH train AS (SELECT doc_id, text FROM documents),
+            bench AS (SELECT doc_id AS bench_id, text || ' zz' AS text
+                      FROM documents WHERE doc_id % 41 = 0),
+            bench_src AS (SELECT bench_id AS doc_id, text FROM bench),
+            tsig AS (SELECT * FROM (WITH {_minhash_cte(src='train')}
+                     SELECT * FROM sig)),
+            bsig AS (SELECT * FROM (WITH {_minhash_cte(src='bench_src')}
+                     SELECT * FROM sig)),
+            tband AS (SELECT doc_id, b.band_idx AS band_idx,
+                             b.band_hash AS band_hash
+                      FROM (SELECT doc_id, unnest([{band_exprs}]) AS b
+                            FROM tsig)),
+            ok AS (SELECT band_idx, band_hash FROM tband
+                   GROUP BY 1, 2 HAVING COUNT(*) <= {_LSH_CAP}),
+            tok AS (SELECT tband.* FROM tband
+                    JOIN ok USING (band_idx, band_hash)),
+            bband AS (SELECT doc_id AS bench_id, b.band_idx AS band_idx,
+                             b.band_hash AS band_hash
+                      FROM (SELECT doc_id, unnest([{band_exprs}]) AS b
+                            FROM bsig)),
+            cand AS (SELECT DISTINCT t.doc_id, bb.bench_id
+                     FROM tok t JOIN bband bb USING (band_idx, band_hash)),
+            gt AS (SELECT doc_id, list_distinct({_sh_sql(3)}) AS grams
+                   FROM (SELECT doc_id, {_WORDS} AS ws FROM train)),
+            gb AS (SELECT bench_id, list_distinct({_sh_sql(3)}) AS grams
+                   FROM (SELECT bench_id, {_WORDS} AS ws FROM bench)),
+            scored AS (
+              SELECT c.doc_id, c.bench_id,
+                     round(CASE WHEN len(gt.grams) + len(gb.grams)
+                                     - len(list_intersect(gt.grams, gb.grams)) > 0
+                           THEN CAST(len(list_intersect(gt.grams, gb.grams)) AS DOUBLE)
+                                / (len(gt.grams) + len(gb.grams)
+                                   - len(list_intersect(gt.grams, gb.grams)))
+                           ELSE 0.0 END, 6) AS jaccard
+              FROM cand c JOIN gt USING (doc_id) JOIN gb USING (bench_id))
+            SELECT doc_id, bench_id, jaccard FROM scored
+            WHERE jaccard >= CAST(0.5 AS DOUBLE)
             """,
         "decontaminate": f"""
             WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),

@@ -1621,3 +1621,65 @@ def group_sample(
         .withColumn("smp_rank", F.row_number().over(w))
         .filter(F.col("smp_rank") <= F.lit(int(n_per_group)))
     )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    band_cap: int = LSH_BAND_CAP,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination (the GPT-3/PaLM appendix method,
+    public literature): training docs that NEAR-duplicate an eval/bench
+    doc — where ``decontaminate`` catches verbatim shingle overlap, this
+    catches paraphrase-light copies via bipartite MinHash-LSH. ``bench``
+    carries (bench_id, text). Candidates = (train doc, bench doc) pairs
+    sharing ≥1 signature band; verification = exact n-gram Jaccard on
+    CANDIDATES ONLY (never train×bench all-pairs); returns
+    (doc_id, bench_id, jaccard) at or above ``threshold``.
+
+    Scale shape: both sides pay the rowwise zero-shuffle minhash; the
+    band join is KEYED on (band_idx, band_hash) — bench is eval-sized
+    but nothing forces it into a broadcast; train band groups above
+    ``band_cap`` are excluded from pairing exactly like
+    lsh_candidate_pairs (audit with lsh_band_stats — same banding, same
+    cap — so exclusions are counted, never silent); verify cost is
+    O(candidate pairs). Train docs are NOT dedup-collapsed first: every
+    contaminated copy must be flagged for removal."""
+    tb = _banded(docs, k, bands)
+    sizes = tb.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    ok = tb.join(
+        sizes.filter(F.col("n_docs") <= band_cap).select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+        "left_semi",
+    )
+    bb = _banded(
+        bench.select(F.col("bench_id").alias("doc_id"), "text"), k, bands
+    ).select("band_idx", "band_hash", F.col("doc_id").alias("bench_id"))
+    cand = (
+        ok.join(bb, ["band_idx", "band_hash"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    g_t = docs.select(
+        "doc_id", F.array_distinct(shingles_col(words_col())).alias("grams_t")
+    )
+    g_b = bench.select(
+        "bench_id", F.array_distinct(shingles_col(words_col())).alias("grams_b")
+    )
+    joined = cand.join(g_t, "doc_id").join(g_b, "bench_id")
+    inter = F.size(F.array_intersect(F.col("grams_t"), F.col("grams_b")))
+    union = F.size("grams_t") + F.size("grams_b") - inter
+    return joined.select(
+        "doc_id",
+        "bench_id",
+        F.round(
+            F.when(union > 0, inter.cast("double") / union.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

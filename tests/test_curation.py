@@ -697,3 +697,40 @@ def test_group_sample_exact_counts_and_invariance(spark):
     # group-limit in the optimized physical plan
     plan = textops.group_sample(docs, 5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_decontaminate_planted(spark):
+    """Bipartite LSH decontamination: a train doc that near-duplicates a
+    bench doc is flagged with the exact Jaccard; exact copies score 1.0;
+    unrelated docs never pair; every CONTAMINATED COPY is flagged (train
+    side deliberately not dedup-collapsed)."""
+    from crawlspark import textops
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                          # near-dup of bench 100
+            (2, base),                          # exact duplicate copy — must ALSO flag
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, base + " omega"), (200, "unrelated words entirely here okay")],
+        "bench_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["jaccard"]
+        for r in textops.fuzzy_decontaminate(docs, bench, threshold=0.3).collect()
+    }
+    # 8 shared shingles of 9 total in the bench doc: J = 8/9
+    j = round(8 / 9, 6)
+    assert got == {(1, 100): j, (2, 100): j}
+    # parallelism invariance
+    got7 = {
+        (r["doc_id"], r["bench_id"]): r["jaccard"]
+        for r in textops.fuzzy_decontaminate(
+            docs.repartition(7), bench.repartition(3), threshold=0.3
+        ).collect()
+    }
+    assert got == got7

@@ -593,6 +593,20 @@ def _q_token_stats(spark, sf_dir):
     return textops.token_stats(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (textops.winnow_fingerprints, MOSS
+    algorithm, w=4 over 3-gram hashes): rightmost-minimal hash per
+    window, distinct (pos, h) selections — the join-ready local
+    substring-matching primitive; entirely rowwise, zero shuffles. The
+    oracle replays the identical window/argmin arithmetic over the same
+    md5-32 shingle hashes."""
+    from crawlspark import textops
+
+    return textops.winnow_fingerprints(
+        _tpch(spark, sf_dir, "documents"), w=4
+    )
+
+
 def _q_fuzzy_decontaminate(spark, sf_dir):
     """Fuzzy benchmark decontamination (textops.fuzzy_decontaminate):
     bipartite MinHash-LSH candidates verified by exact shingle Jaccard —
@@ -1451,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "group_sample": _q_group_sample,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # -- never driver-attested through round 5 ------------------------
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
@@ -1819,6 +1834,25 @@ def _textops_oracle_sql() -> dict[str, str]:
                               / g.n_words
                          ELSE 0.0 END, 6) AS top_word_frac
             FROM g LEFT JOIN tc ON tc.doc_id = g.doc_id
+            """,
+        "winnow_fingerprints": f"""
+            WITH {_minhash_cte(src='documents')},
+            win AS (
+              SELECT doc_id,
+                     CASE WHEN len(sh) >= 4 THEN
+                       [STRUCT_PACK(
+                           pos := CAST(list_max([j for j in
+                                    generate_series(i, i + 3)
+                                    if sh[j] = list_min([sh[j2] for j2 in
+                                       generate_series(i, i + 3)])])
+                                  AS INTEGER),
+                           h := list_min([sh[j2] for j2 in
+                                 generate_series(i, i + 3)]))
+                        for i in generate_series(1, len(sh) - 3)]
+                     ELSE [] END AS fps
+              FROM shl)
+            SELECT DISTINCT doc_id, f.pos AS pos, f.h AS h
+            FROM (SELECT doc_id, unnest(fps) AS f FROM win)
             """,
         "fuzzy_decontaminate": f"""
             WITH train AS (SELECT doc_id, text FROM documents),

@@ -1683,3 +1683,67 @@ def fuzzy_decontaminate(
             6,
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): over the doc's 3-gram hash
+    sequence, every window of ``w`` consecutive hashes selects its
+    RIGHTMOST minimal hash; the distinct (pos, h) selections are the
+    fingerprint set. Guarantee: two docs sharing a token run of length
+    ≥ w+2 share at least one fingerprint — the local, position-robust
+    substring-matching primitive (doc_fingerprint's single rolling hash
+    is global; this is the matchable form). Docs with fewer than w
+    3-grams (< w+2 words) emit no rows. Returns exploded
+    (doc_id, pos, h) — join-ready for cross-doc substring detection;
+    expected density is 2/(w+1) fingerprints per gram.
+
+    Scale shape: entirely rowwise, zero shuffles; the explode multiplies
+    rows by ~2m/w per doc. Implementation notes (all measured): the
+    window slices are STAGED as their own array column (the
+    _staged_shingle_hashes / project-collapse discipline); the
+    per-window rightmost-argmin is pure native array functions
+    (array_min + reverse + array_position) — a first draft using a
+    nested aggregate() with struct state ran ~50× slower (interpreted
+    HOF state per step); and the final expansion is explode_OUTER + a
+    post-generate null filter, NOT plain explode — InferFiltersFromGenerate
+    adds `size(fps) > 0` below a non-outer Generate and predicate
+    pushdown then SUBSTITUTES the whole staged HOF chain into that
+    predicate, re-inlining wh→sh→wins multiplicatively (measured 275 s
+    vs 3.5 s at sf0.01 — a 78× cliff; outer generates get no inferred
+    filter). The rightmost-min rule is a deterministic total choice
+    (position breaks value ties), so output is partitioning-independent."""
+    sh = _staged_shingle_hashes(docs, text_col)
+    wins = sh.select(
+        "doc_id",
+        F.when(
+            F.size("sh") >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size("sh") - (w - 1)),
+                lambda i: F.slice("sh", i, w),
+            ),
+        )
+        .otherwise(F.array().cast("array<array<bigint>>"))
+        .alias("wins"),
+    )
+    sel = F.transform(
+        F.col("wins"),
+        lambda s, i0: F.struct(
+            F.array_min(s).alias("h"),
+            (
+                i0
+                + F.lit(1 + w)
+                - F.array_position(F.reverse(s), F.array_min(s))
+            )
+            .cast("int")
+            .alias("pos"),
+        ),
+    )
+    fps = wins.select("doc_id", F.array_distinct(sel).alias("fps"))
+    return (
+        fps.select("doc_id", F.explode_outer("fps").alias("f"))
+        .filter(F.col("f").isNotNull())
+        .select("doc_id", F.col("f.pos").alias("pos"), F.col("f.h").alias("h"))
+    )

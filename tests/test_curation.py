@@ -734,3 +734,56 @@ def test_fuzzy_decontaminate_planted(spark):
         ).collect()
     }
     assert got == got7
+
+
+def test_winnow_fingerprints_reference_and_guarantee(spark):
+    """Winnowing vs a pure-Python reimplementation of the rightmost-min
+    rule over the identical md5-32 shingle hashes; the shared-substring
+    guarantee (two docs sharing a >= w+2-token run share a fingerprint
+    VALUE); short docs emit nothing; parallelism invariance."""
+    import hashlib
+
+    from crawlspark import textops
+    from crawlspark.textops import MINHASH_M32, MINHASH_P, MINHASH_P1, MINHASH_P2
+
+    W = 4
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit saturn"
+    docs = spark.createDataFrame(
+        [
+            ("d0", "prefix one two " + shared),
+            ("d1", shared + " suffix alpha beta"),
+            ("d2", "too short here"),  # 3 words -> 1 shingle < w
+        ],
+        "doc_id string, text string",
+    )
+
+    def py_winnow(text):
+        ws = [x for x in text.lower().split(" ") if x]
+        wh = [int(hashlib.md5(x.encode()).hexdigest()[:8], 16) for x in ws]
+        sh = [
+            ((wh[i] * MINHASH_P1 + wh[i + 1] * MINHASH_P2 + wh[i + 2])
+             % MINHASH_P) % MINHASH_M32
+            for i in range(len(wh) - 2)
+        ] if len(wh) >= 3 else []
+        out = set()
+        for i in range(len(sh) - W + 1):
+            win = sh[i:i + W]
+            m = min(win)
+            pos = i + max(j for j, v in enumerate(win) if v == m) + 1  # 1-based
+            out.add((pos, m))
+        return out
+
+    got = {}
+    for r in textops.winnow_fingerprints(docs, w=W).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+    assert got.get("d2") is None
+    for d, text in (("d0", "prefix one two " + shared),
+                    ("d1", shared + " suffix alpha beta")):
+        assert got[d] == py_winnow(text), d
+    # guarantee: the 9-token shared run (>= w+2 = 6) forces a common VALUE
+    assert {h for _, h in got["d0"]} & {h for _, h in got["d1"]}
+    # parallelism invariance
+    got7 = {}
+    for r in textops.winnow_fingerprints(docs.repartition(7), w=W).collect():
+        got7.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+    assert got == got7

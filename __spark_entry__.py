@@ -477,6 +477,46 @@ def _q_media_frame_sample(spark, sf_dir):
 # driver's documents + embeddings tables (crawlspark/textops.py, simsearch.py)
 # ---------------------------------------------------------------------------
 
+def _q_media_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over binary media payloads
+    (media.cdc_chunk_table, FastCDC-style gear hash): byte-level dedup
+    units that survive edits whole-blob hashing can't (the mirror
+    universe appends an 8-byte trailer — media_exact_dedup provably
+    cannot pair those blobs, CDC shares every non-trailer chunk). Oracle
+    = the SAME pure core run driver-side (expected-output fixture), so
+    the value check covers the Arrow plumbing."""
+    from crawlspark import media
+
+    return media.cdc_chunk_table(media.synth_media_mirror_df(spark, 500, 5))
+
+
+def _q_media_chunk_dedup(spark, sf_dir):
+    """Chunk-level dedup accounting over the CDC table: ONE map-side-
+    combinable aggregate — total vs distinct chunks and total vs unique
+    bytes (the storage win CDC buys). DuckDB runs the identical
+    aggregate over the expected chunk fixture — a REAL relational oracle
+    on top of the plumbing-checked chunk rows."""
+    from crawlspark import media
+
+    ch = media.cdc_chunk_table(media.synth_media_mirror_df(spark, 500, 5))
+    uniq = ch.groupBy("chunk_hash").agg(F.min("length").alias("l"))
+    return (
+        ch.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("length").cast("bigint").alias("bytes_total"),
+        )
+        .crossJoin(
+            F.broadcast(
+                uniq.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
+                    F.sum("l").cast("bigint").alias("bytes_unique"),
+                )
+            )
+        )
+        .select("n_chunks", "n_unique_chunks", "bytes_total", "bytes_unique")
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     from crawlspark import textops
 
@@ -1466,6 +1506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": _q_group_sample,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "media_cdc_chunks": _q_media_cdc_chunks,
+        "media_chunk_dedup": _q_media_chunk_dedup,
         # -- never driver-attested through round 5 ------------------------
         "corpus_mix": _q_corpus_mix,
         "embed_quantize": _q_embed_quantize,
@@ -2866,6 +2908,7 @@ def oracle_sql() -> dict[str, str]:
 
     _fixtures.materialize_expected_fixtures("sf0.01")
     _fixtures.materialize_doc_url_fixtures("sf0.01")
+    _fixtures.materialize_cdc_fixture("sf0.01")
 
     def _exp(name: str) -> str:
         return os.path.join(_REPO, "fixtures", "sf0.01", name)
@@ -2908,6 +2951,19 @@ def oracle_sql() -> dict[str, str]:
         "bloom_roundtrip": f"""
             SELECT bucket, n_cands, n_maybe
             FROM read_parquet('{_exp("expected_bloom_roundtrip.parquet")}')
+            """,
+        "media_cdc_chunks": f"""
+            SELECT media_ref, chunk_idx, "offset", length, chunk_hash
+            FROM read_parquet('{_exp("expected_media_cdc.parquet")}')
+            """,
+        "media_chunk_dedup": f"""
+            WITH ch AS (SELECT * FROM
+                        read_parquet('{_exp("expected_media_cdc.parquet")}')),
+            u AS (SELECT chunk_hash, MIN(length) AS l FROM ch GROUP BY 1)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ch) AS n_chunks,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_unique_chunks,
+                   (SELECT CAST(SUM(length) AS BIGINT) FROM ch) AS bytes_total,
+                   (SELECT CAST(SUM(l) AS BIGINT) FROM u) AS bytes_unique
             """,
         "media_features": f"""
             SELECT media_ref, media_type, n_bytes, width, height, n_frames,

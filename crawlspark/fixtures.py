@@ -478,3 +478,49 @@ def materialize_expected_fixtures(sf_name: str) -> str:
     with open(done, "w") as f:
         f.write("ok\n")
     return out
+
+
+def materialize_cdc_fixture(sf_name: str) -> str:
+    """Expected-output fixture for the CDC queries (additive, own marker —
+    materialize_expected_fixtures' _DONE_EXPECTED predates it and never
+    rewrites): the SAME pure core the Spark stage wraps
+    (media.cdc_chunks_of) runs driver-side over the SAME deterministic
+    mirror universe (media.synth_media_mirror_rows(500, 5)); DuckDB reads
+    the parquet back, so the comparison checks the Arrow plumbing AND
+    feeds the exact relational twin for the chunk-dedup aggregate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import media
+
+    out = fixture_dir(sf_name)
+    done = os.path.join(out, "_DONE_CDC")
+    if os.path.exists(done):
+        return out
+    rows = []
+    for ref, _kind, payload, _meta in media.synth_media_mirror_rows(500, 5):
+        rows.extend(media.cdc_chunks_of(ref, payload))
+    pq.write_table(
+        pa.table(
+            {
+                "media_ref": [r[0] for r in rows],
+                "chunk_idx": [r[1] for r in rows],
+                "offset": [r[2] for r in rows],
+                "length": [r[3] for r in rows],
+                "chunk_hash": [r[4] for r in rows],
+            },
+            schema=pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("chunk_idx", pa.int32()),
+                    ("offset", pa.int32()),
+                    ("length", pa.int32()),
+                    ("chunk_hash", pa.string()),
+                ]
+            ),
+        ),
+        os.path.join(out, "expected_media_cdc.parquet"),
+    )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out

@@ -47,3 +47,54 @@ def test_media_dedup(spark):
     n2 = [g for g in groups if g["n_copies"] == 2]
     assert len(n2) == 7
     assert len(groups) == 30
+
+
+def test_cdc_chunks_edit_locality_and_invariants(spark):
+    """Content-defined chunking (media.cdc_chunk_table): chunks cover the
+    payload contiguously; an appended trailer leaves every prior chunk
+    boundary intact (the CDC property — at most the final chunk changes,
+    plus new trailer chunks) while whole-blob hashing sees two unrelated
+    blobs; Spark rows equal the pure core; parallelism invariant."""
+    import hashlib
+
+    from crawlspark import media
+
+    base = media.synth_payload("http://h1.example/media/base")[1]
+    edited = base + b"TRAILER!"
+    rows = [
+        ("ref/a", "image", base, {}),
+        ("ref/b", "image", edited, {}),
+    ]
+    df = spark.createDataFrame(rows, media.MEDIA)
+    got = sorted(
+        map(tuple, media.cdc_chunk_table(df).collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    exp = sorted(
+        media.cdc_chunks_of("ref/a", base) + media.cdc_chunks_of("ref/b", edited),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert got == exp
+
+    a = [r for r in exp if r[0] == "ref/a"]
+    b = [r for r in exp if r[0] == "ref/b"]
+    # contiguous cover
+    for chunks, payload in ((a, base), (b, edited)):
+        assert chunks[0][2] == 0
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur[2] == prev[2] + prev[3]
+        assert chunks[-1][2] + chunks[-1][3] == len(payload)
+        for _, _, off, ln, h in chunks:
+            assert h == hashlib.md5(payload[off : off + ln]).hexdigest()
+    # edit locality: all of a's chunks except possibly the last reappear in b
+    ha = [r[4] for r in a]
+    hb = {r[4] for r in b}
+    assert all(h in hb for h in ha[:-1])
+    # whole-blob dedup CANNOT pair them
+    assert hashlib.md5(base).hexdigest() != hashlib.md5(edited).hexdigest()
+
+    got7 = sorted(
+        map(tuple, media.cdc_chunk_table(df.repartition(7)).collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert got7 == exp

@@ -477,6 +477,17 @@ def _q_media_frame_sample(spark, sf_dir):
 # driver's documents + embeddings tables (crawlspark/textops.py, simsearch.py)
 # ---------------------------------------------------------------------------
 
+def _q_export_manifest(spark, sf_dir):
+    """Per-shard export manifest (textops.export_manifest over
+    token_shards' prefix-sum assignment, budget=1000): doc count, token
+    total, and an order-canonical md5 digest of the shard's doc_ids —
+    the reproducibility record of a training-data export. The oracle
+    re-derives the identical shards and string_agg ORDER BY digest."""
+    from crawlspark import textops
+
+    return textops.export_manifest(_tpch(spark, sf_dir, "documents"), 1000)
+
+
 def _q_media_cdc_chunks(spark, sf_dir):
     """Content-defined chunking over binary media payloads
     (media.cdc_chunk_table, FastCDC-style gear hash): byte-level dedup
@@ -1506,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": _q_group_sample,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "export_manifest": _q_export_manifest,
         "media_cdc_chunks": _q_media_cdc_chunks,
         "media_chunk_dedup": _q_media_chunk_dedup,
         # -- never driver-attested through round 5 ------------------------
@@ -2277,6 +2289,24 @@ def _textops_oracle_sql() -> dict[str, str]:
                    CAST(SUM(oov) AS BIGINT) AS n_oov,
                    round(AVG(logp), 6) AS mean_logprob
             FROM j GROUP BY doc_id
+            """,
+        "export_manifest": f"""
+            WITH w AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum_tokens
+                  FROM w),
+            s AS (SELECT doc_id, n_tokens,
+                         CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE)
+                              / 1000) AS BIGINT) AS shard_id
+                  FROM c)
+            SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                  ORDER BY doc_id)) AS docs_md5
+            FROM s GROUP BY shard_id
             """,
         "token_shards": f"""
             WITH w AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens

@@ -1747,3 +1747,34 @@ def winnow_fingerprints(
         .filter(F.col("f").isNotNull())
         .select("doc_id", F.col("f.pos").alias("pos"), F.col("f.h").alias("h"))
     )
+
+
+def export_manifest(docs: DataFrame, budget: int = 4096) -> DataFrame:
+    """Shard manifest for a training-data export — the integrity record
+    an exporter writes next to its shard files: per shard, the doc
+    count, the token total, and a content digest (md5 over the shard's
+    doc_ids in ascending order). Two exports of the same corpus+budget
+    verify equal by comparing manifests alone — no re-read of payloads;
+    a missing/duplicated doc flips its shard's digest.
+
+    Builds on ``token_shards`` (distributed two-pass prefix sum — no
+    global window); the manifest layer is ONE keyed aggregate on
+    shard_id (map-side combinable; shard populations are
+    ~budget/avg_doc_tokens docs, so collect_list stays shard-bounded).
+    The digest sorts the collected ids NUMERICALLY before stringifying —
+    string-sorting '10' < '9' would diverge from the oracle's
+    ORDER BY doc_id."""
+    sh = token_shards(docs, budget)
+    return sh.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+            )
+        ).alias("docs_md5"),
+    )

@@ -787,3 +787,34 @@ def test_winnow_fingerprints_reference_and_guarantee(spark):
     for r in textops.winnow_fingerprints(docs.repartition(7), w=W).collect():
         got7.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
     assert got == got7
+
+
+def test_export_manifest_digest_semantics(spark):
+    """Manifest digests: equal corpora produce equal manifests; dropping
+    one doc flips exactly its shard's digest (and counts); numeric id
+    ordering inside the digest (not string order)."""
+    from crawlspark import textops
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(1, 40)],
+        "doc_id long, text string",
+    )
+    m1 = {r["shard_id"]: (r["n_docs"], r["n_tokens"], r["docs_md5"])
+          for r in textops.export_manifest(docs, budget=20).collect()}
+    m2 = {r["shard_id"]: (r["n_docs"], r["n_tokens"], r["docs_md5"])
+          for r in textops.export_manifest(docs.repartition(9), budget=20).collect()}
+    assert m1 == m2 and len(m1) > 1
+    # drop doc 10: its shard's digest flips; shard contents shift after it
+    docs2 = docs.filter("doc_id <> 10")
+    m3 = {r["shard_id"]: (r["n_docs"], r["n_tokens"], r["docs_md5"])
+          for r in textops.export_manifest(docs2, budget=20).collect()}
+    assert m3 != m1
+    # numeric order: ids 2 and 10 in one shard must digest as '2,10'
+    import hashlib
+
+    wide = spark.createDataFrame(
+        [(2, "a"), (10, "b")], "doc_id long, text string"
+    )
+    row = textops.export_manifest(wide, budget=100).collect()
+    assert len(row) == 1
+    assert row[0]["docs_md5"] == hashlib.md5(b"2,10").hexdigest()

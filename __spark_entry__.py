@@ -477,6 +477,16 @@ def _q_media_frame_sample(spark, sf_dir):
 # driver's documents + embeddings tables (crawlspark/textops.py, simsearch.py)
 # ---------------------------------------------------------------------------
 
+def _q_source_length_stats(spark, sf_dir):
+    """Per-source token-length QA panel (textops.source_length_stats):
+    exact nearest-rank p50/p90 via an explicit ROW_NUMBER construction
+    shared by both engines — no engine-quantile interpolation
+    semantics."""
+    from crawlspark import textops
+
+    return textops.source_length_stats(_tpch(spark, sf_dir, "documents"))
+
+
 def _q_export_manifest(spark, sf_dir):
     """Per-shard export manifest (textops.export_manifest over
     token_shards' prefix-sum assignment, budget=1000): doc count, token
@@ -1517,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": _q_group_sample,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "source_length_stats": _q_source_length_stats,
         "export_manifest": _q_export_manifest,
         "media_cdc_chunks": _q_media_cdc_chunks,
         "media_chunk_dedup": _q_media_chunk_dedup,
@@ -2289,6 +2300,25 @@ def _textops_oracle_sql() -> dict[str, str]:
                    CAST(SUM(oov) AS BIGINT) AS n_oov,
                    round(AVG(logp), 6) AS mean_logprob
             FROM j GROUP BY doc_id
+            """,
+        "source_length_stats": f"""
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            r AS (SELECT source, n_tokens,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY n_tokens, doc_id) AS rn,
+                         COUNT(*) OVER (PARTITION BY source) AS n
+                  FROM t)
+            SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+                   round(AVG(n_tokens), 6) AS mean_tokens,
+                   CAST(MAX(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n)
+                            AS BIGINT) THEN n_tokens END) AS BIGINT)
+                     AS p50_tokens,
+                   CAST(MAX(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * n)
+                            AS BIGINT) THEN n_tokens END) AS BIGINT)
+                     AS p90_tokens
+            FROM r GROUP BY source
             """,
         "export_manifest": f"""
             WITH w AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens

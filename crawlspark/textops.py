@@ -1778,3 +1778,44 @@ def export_manifest(docs: DataFrame, budget: int = 4096) -> DataFrame:
             )
         ).alias("docs_md5"),
     )
+
+
+def source_length_stats(docs: DataFrame) -> DataFrame:
+    """Per-source token-length distribution — the corpus-QA panel a
+    mixture builder reads before weighting sources: doc count, mean
+    tokens (6 dp), and EXACT nearest-rank p50/p90 (value at rank
+    ⌈q·n⌉ in (n_tokens, doc_id) order — an explicit ROW_NUMBER
+    construction, not an engine quantile, so Spark and the oracle agree
+    by definition instead of by luck of interpolation semantics).
+
+    Scale shape: one window partitioned by source (per-group sort — the
+    group count is the SOURCE cardinality, small by construction; for
+    per-host length stats at web scale use the bucketed two-phase
+    prefix-sum discipline instead) + one keyed aggregate with
+    conditional picks."""
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id", "source", F.size(words_col()).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").asc(), F.col("doc_id").asc()
+    )
+    cnt = Window.partitionBy("source")
+    r = t.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("n_tokens")
+        )
+    )
+    return r.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        pick(0.5).cast("bigint").alias("p50_tokens"),
+        pick(0.9).cast("bigint").alias("p90_tokens"),
+    )

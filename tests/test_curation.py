@@ -818,3 +818,24 @@ def test_export_manifest_digest_semantics(spark):
     row = textops.export_manifest(wide, budget=100).collect()
     assert len(row) == 1
     assert row[0]["docs_md5"] == hashlib.md5(b"2,10").hexdigest()
+
+
+def test_source_length_stats_hand_checked(spark):
+    from crawlspark import textops
+
+    docs = spark.createDataFrame(
+        [(i, "s0", "w " * i) for i in range(1, 11)]      # lengths 1..10
+        + [(100, "s1", "a b c")],                         # single doc
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r.asDict()
+           for r in textops.source_length_stats(docs).collect()}
+    s0 = got["s0"]
+    # nearest-rank over 1..10: p50 = rank ceil(5)=5 -> 5; p90 = rank 9 -> 9
+    assert (s0["n_docs"], s0["p50_tokens"], s0["p90_tokens"]) == (10, 5, 9)
+    assert s0["mean_tokens"] == 5.5
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["p50_tokens"], s1["p90_tokens"]) == (1, 3, 3)
+    got7 = {r["source"]: r.asDict()
+            for r in textops.source_length_stats(docs.repartition(7)).collect()}
+    assert got == got7

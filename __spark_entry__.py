@@ -477,6 +477,40 @@ def _q_media_frame_sample(spark, sf_dir):
 # driver's documents + embeddings tables (crawlspark/textops.py, simsearch.py)
 # ---------------------------------------------------------------------------
 
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization codes (simsearch.pq_encode over the
+    deterministic pq_subcodebooks tier): each vector's 4 subspace slices
+    assigned to their nearest sub-centroid by 6-dp squared L2 — the
+    4-bit-per-subspace compressed form ADC search scans. Oracle
+    re-derives the identical slices/argmin via list_inner_product."""
+    from crawlspark import simsearch
+
+    emb = _tpch(spark, sf_dir, "embeddings")
+    return simsearch.pq_encode(emb, simsearch.pq_subcodebooks(emb))
+
+
+def _q_pq_topk(spark, sf_dir):
+    """PQ ADC top-k (simsearch.pq_topk): asymmetric distance — full-
+    precision query vs 4 table lookups per candidate, summed as x1e6
+    fixed-point integers (engine-order-proof); distance table is the
+    only broadcast (queries x 4 x 16 rows); ranks tie-break on vec_id."""
+    from crawlspark import simsearch
+
+    return simsearch.pq_topk(_tpch(spark, sf_dir, "embeddings"))
+
+
+def _q_pq_rerank(spark, sf_dir):
+    """Two-stage PQ search (simsearch.pq_rerank_topk): ADC shortlist over
+    the compressed codes, exact squared-L2 re-rank of the shortlist only
+    — the production pattern whose recall the shortlist stage bounds.
+    The oracle composes the pq_topk CTE chain with the exact re-rank."""
+    from crawlspark import simsearch
+
+    return simsearch.pq_rerank_topk(
+        _tpch(spark, sf_dir, "embeddings"), k=10, shortlist=100
+    )
+
+
 def _q_source_length_stats(spark, sf_dir):
     """Per-source token-length QA panel (textops.source_length_stats):
     exact nearest-rank p50/p90 via an explicit ROW_NUMBER construction
@@ -1527,6 +1561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": _q_group_sample,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "pq_codes": _q_pq_codes,
+        "pq_topk": _q_pq_topk,
+        "pq_rerank": _q_pq_rerank,
         "source_length_stats": _q_source_length_stats,
         "export_manifest": _q_export_manifest,
         "media_cdc_chunks": _q_media_cdc_chunks,
@@ -2300,6 +2337,139 @@ def _textops_oracle_sql() -> dict[str, str]:
                    CAST(SUM(oov) AS BIGINT) AS n_oov,
                    round(AVG(logp), 6) AS mean_logprob
             FROM j GROUP BY doc_id
+            """,
+        "pq_codes": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            base AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                          AS INTEGER) AS cent_id, emb
+                     FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+            sub AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS sub_id),
+            cb AS (SELECT base.cent_id, sub.sub_id,
+                          emb[sub.sub_id*16+1 : sub.sub_id*16+16] AS c_sub
+                   FROM base, sub),
+            vs AS (SELECT e.vec_id, sub.sub_id,
+                          emb[sub.sub_id*16+1 : sub.sub_id*16+16] AS v_sub
+                   FROM e, sub),
+            sc AS (SELECT vs.vec_id, vs.sub_id, cb.cent_id,
+                          round(list_inner_product(v_sub, v_sub)
+                                - 2*list_inner_product(v_sub, c_sub)
+                                + list_inner_product(c_sub, c_sub), 6) AS d
+                   FROM vs JOIN cb ON vs.sub_id = cb.sub_id),
+            codes AS (SELECT vec_id, sub_id, cent_id AS code FROM (
+                        SELECT *, ROW_NUMBER() OVER (
+                            PARTITION BY vec_id, sub_id
+                            ORDER BY d ASC, cent_id ASC) AS rnk FROM sc)
+                      WHERE rnk = 1)
+            SELECT vec_id, sub_id, code FROM codes
+            """,
+        "pq_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            base AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                          AS INTEGER) AS cent_id, emb
+                     FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+            sub AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS sub_id),
+            cb AS (SELECT base.cent_id, sub.sub_id,
+                          emb[sub.sub_id*16+1 : sub.sub_id*16+16] AS c_sub
+                   FROM base, sub),
+            vs AS (SELECT e.vec_id, sub.sub_id,
+                          emb[sub.sub_id*16+1 : sub.sub_id*16+16] AS v_sub
+                   FROM e, sub),
+            sc AS (SELECT vs.vec_id, vs.sub_id, cb.cent_id,
+                          round(list_inner_product(v_sub, v_sub)
+                                - 2*list_inner_product(v_sub, c_sub)
+                                + list_inner_product(c_sub, c_sub), 6) AS d
+                   FROM vs JOIN cb ON vs.sub_id = cb.sub_id),
+            codes AS (SELECT vec_id, sub_id, cent_id AS code FROM (
+                        SELECT *, ROW_NUMBER() OVER (
+                            PARTITION BY vec_id, sub_id
+                            ORDER BY d ASC, cent_id ASC) AS rnk FROM sc)
+                      WHERE rnk = 1),
+            q AS (SELECT vec_id AS q_id, emb AS q_emb
+                  FROM e ORDER BY vec_id LIMIT 5),
+            qs AS (SELECT q_id, sub.sub_id,
+                          q_emb[sub.sub_id*16+1 : sub.sub_id*16+16] AS q_sub
+                   FROM q, sub),
+            dt AS (SELECT q_id, qs.sub_id, cb.cent_id AS code,
+                          CAST(floor(round(
+                              list_inner_product(q_sub, q_sub)
+                              - 2*list_inner_product(q_sub, c_sub)
+                              + list_inner_product(c_sub, c_sub), 6)
+                              * 1000000 + 0.5) AS BIGINT) AS dpart_fp
+                   FROM qs JOIN cb ON qs.sub_id = cb.sub_id),
+            adc AS (SELECT dt.q_id, codes.vec_id,
+                           round(SUM(dpart_fp) / 1000000.0, 6) AS adc_dist
+                    FROM codes JOIN dt ON codes.sub_id = dt.sub_id
+                                      AND codes.code = dt.code
+                    GROUP BY dt.q_id, codes.vec_id
+                    HAVING dt.q_id <> codes.vec_id),
+            r AS (SELECT q_id, vec_id, adc_dist,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist ASC, vec_id ASC)
+                              AS INTEGER) AS rank
+                  FROM adc)
+            SELECT q_id, vec_id, adc_dist, rank FROM r WHERE rank <= 10
+            """,
+        "pq_rerank": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            base AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                          AS INTEGER) AS cent_id, emb
+                     FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+            sub AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS sub_id),
+            cb AS (SELECT base.cent_id, sub.sub_id,
+                          emb[sub.sub_id*16+1 : sub.sub_id*16+16] AS c_sub
+                   FROM base, sub),
+            vs AS (SELECT e.vec_id, sub.sub_id,
+                          emb[sub.sub_id*16+1 : sub.sub_id*16+16] AS v_sub
+                   FROM e, sub),
+            sc AS (SELECT vs.vec_id, vs.sub_id, cb.cent_id,
+                          round(list_inner_product(v_sub, v_sub)
+                                - 2*list_inner_product(v_sub, c_sub)
+                                + list_inner_product(c_sub, c_sub), 6) AS d
+                   FROM vs JOIN cb ON vs.sub_id = cb.sub_id),
+            codes AS (SELECT vec_id, sub_id, cent_id AS code FROM (
+                        SELECT *, ROW_NUMBER() OVER (
+                            PARTITION BY vec_id, sub_id
+                            ORDER BY d ASC, cent_id ASC) AS rnk FROM sc)
+                      WHERE rnk = 1),
+            q AS (SELECT vec_id AS q_id, emb AS q_emb
+                  FROM e ORDER BY vec_id LIMIT 5),
+            qs AS (SELECT q_id, sub.sub_id,
+                          q_emb[sub.sub_id*16+1 : sub.sub_id*16+16] AS q_sub
+                   FROM q, sub),
+            dt AS (SELECT q_id, qs.sub_id, cb.cent_id AS code,
+                          CAST(floor(round(
+                              list_inner_product(q_sub, q_sub)
+                              - 2*list_inner_product(q_sub, c_sub)
+                              + list_inner_product(c_sub, c_sub), 6)
+                              * 1000000 + 0.5) AS BIGINT) AS dpart_fp
+                   FROM qs JOIN cb ON qs.sub_id = cb.sub_id),
+            adc AS (SELECT dt.q_id, codes.vec_id,
+                           round(SUM(dpart_fp) / 1000000.0, 6) AS adc_dist
+                    FROM codes JOIN dt ON codes.sub_id = dt.sub_id
+                                      AND codes.code = dt.code
+                    GROUP BY dt.q_id, codes.vec_id
+                    HAVING dt.q_id <> codes.vec_id),
+            r AS (SELECT q_id, vec_id, adc_dist,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY adc_dist ASC, vec_id ASC)
+                              AS INTEGER) AS rank
+                  FROM adc)
+            , short AS (SELECT q_id, vec_id FROM r WHERE rank <= 100),
+            rr AS (SELECT s.q_id, s.vec_id,
+                          round(list_inner_product(q.q_emb, q.q_emb)
+                                - 2*list_inner_product(q.q_emb, e.emb)
+                                + list_inner_product(e.emb, e.emb), 6) AS l2sq
+                   FROM short s JOIN q ON s.q_id = q.q_id
+                                JOIN e ON s.vec_id = e.vec_id),
+            rr2 AS (SELECT q_id, vec_id, l2sq,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY l2sq ASC, vec_id ASC) AS INTEGER)
+                             AS rank
+                    FROM rr)
+            SELECT q_id, vec_id, l2sq, rank FROM rr2 WHERE rank <= 10
             """,
         "source_length_stats": f"""
             WITH t AS (SELECT doc_id, source,

@@ -573,3 +573,220 @@ def semantic_dedup(
         .select("vec_a", "vec_b")
     )
     return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the third leg
+# of the faiss-style compression trio next to embed_quantize (SQ8) and the
+# IVF codebook: split each vector into PQ_M subspaces, quantize each to one
+# of PQ_KSUB sub-centroids, store PQ_M small codes; search via ADC
+# (asymmetric distance computation) — the query keeps full precision, each
+# candidate's distance is a sum of PQ_M table lookups.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4                      # subspaces (EMB_DIM/PQ_M dims each)
+PQ_KSUB = 16                  # sub-centroids per subspace (4-bit codes)
+PQ_SUBDIM = EMB_DIM // PQ_M
+
+
+def _l2sq(a, b):
+    """Squared L2 as ip(a,a) − 2·ip(a,b) + ip(b,b) — every term a _dot in
+    array index order, so both engines (list_inner_product in DuckDB)
+    produce bit-identical doubles."""
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+
+def pq_subcodebooks(emb: DataFrame, ksub: int = PQ_KSUB) -> DataFrame:
+    """Deterministic training-free sub-codebooks (the DuckDB-oracle tier,
+    default_codebook's discipline): sub-centroid j of subspace s is the
+    s-th slice of the j-th-lowest-vec_id vector. Returns
+    (sub_id, cent_id, c_sub) with PQ_M·ksub rows — codebook-sized
+    metadata. Production swap point: per-subspace seeded MLlib k-means
+    (kmeans_codebook's pattern) behind the same (sub_id, cent_id, c_sub)
+    shape."""
+    base = emb.orderBy("vec_id").limit(ksub).select(
+        F.row_number().over(Window.orderBy("vec_id")).alias("rn"),
+        _as_double(F.col("embedding")).alias("e"),
+    )
+    subs = base.select(
+        (F.col("rn") - 1).alias("cent_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub_id"),
+                    F.slice("e", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("c_sub"),
+                )
+                for s in range(PQ_M)
+            ])
+        ).alias("b"),
+    )
+    return subs.select("cent_id", F.col("b.sub_id").alias("sub_id"),
+                       F.col("b.c_sub").alias("c_sub"))
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, code): each vector's subspace slice assigned to
+    its nearest sub-centroid by 6-dp-rounded squared L2, ties to the
+    lower cent_id — engine-independent by construction. One broadcast of
+    the PQ_M·ksub codebook against the exploded (vec, subspace) slices;
+    the argmin is a WindowGroupLimit-compiled row_number over
+    (vec_id, sub_id) groups of ksub rows."""
+    sliced = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub_id"),
+                    F.slice(_as_double(F.col("embedding")),
+                            s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v_sub"),
+                )
+                for s in range(PQ_M)
+            ])
+        ).alias("b"),
+    ).select("vec_id", F.col("b.sub_id").alias("sub_id"),
+             F.col("b.v_sub").alias("v_sub"))
+    scored = sliced.join(F.broadcast(codebooks), "sub_id").select(
+        "vec_id", "sub_id", "cent_id",
+        F.round(_l2sq(F.col("v_sub"), F.col("c_sub")), 6).alias("d"),
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.col("d").asc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "sub_id", F.col("cent_id").alias("code"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = ANN_K,
+    n_queries: int = N_QUERIES,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """ADC top-k: queries (the n_queries lowest vec_ids, full precision)
+    score every encoded vector as Σ_s dtable[q, s, code(v, s)] — the
+    distance table is queries×PQ_M×ksub rows (query-sized, the ONLY
+    broadcast); the scan is one keyed join on (sub_id, code) + one
+    map-side-combinable sum + a WindowGroupLimit top-k. Distances round
+    to 6 dp BEFORE ranking; ties break on vec_id. Codes come from
+    pq_subcodebooks/pq_encode (deterministic tier)."""
+    cbs = pq_subcodebooks(emb, ksub)
+    codes = pq_encode(emb, cbs)
+    queries = emb.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        _as_double(F.col("embedding")).alias("q_emb"),
+    )
+    qsub = queries.select(
+        "q_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub_id"),
+                    F.slice("q_emb", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("q_sub"),
+                )
+                for s in range(PQ_M)
+            ])
+        ).alias("b"),
+    ).select("q_id", F.col("b.sub_id").alias("sub_id"),
+             F.col("b.q_sub").alias("q_sub"))
+    # table entries as ×10^6 fixed-point integers (floor(x+0.5), the
+    # repo-wide rule): the ADC sum of PQ_M doubles would be
+    # aggregation-order-dependent in the last ulp; integer partials sum
+    # exactly in any order, in any engine
+    dtable = qsub.join(F.broadcast(cbs), "sub_id").select(
+        "q_id", "sub_id", F.col("cent_id").alias("code"),
+        F.floor(
+            F.round(_l2sq(F.col("q_sub"), F.col("c_sub")), 6) * 1e6 + 0.5
+        ).cast("long").alias("dpart_fp"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["sub_id", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(
+            F.round(F.sum("dpart_fp") / F.lit(1e6), 6).alias("adc_dist")
+        )
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+def pq_kmeans_subcodebooks(
+    emb: DataFrame,
+    ksub: int = PQ_KSUB,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Trained PQ sub-codebooks: one seeded MLlib k-means PER SUBSPACE
+    over the sliced corpus (the kmeans_codebook pattern) — the production
+    tier behind the same (sub_id, cent_id, c_sub) shape pq_encode /
+    pq_topk consume; the deterministic pq_subcodebooks stand-in remains
+    the DuckDB-oracle tier (a trained model is not SQL-reproducible).
+    PQ_M small fits (ksub centroids each) — driver-looped over subspaces
+    by design, each fit a distributed job."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    rows = []
+    for s in range(PQ_M):
+        feats = emb.select(
+            array_to_vector(
+                F.slice(_as_double(F.col("embedding")),
+                        s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed, maxIter=max_iter).fit(feats)
+        rows.extend(
+            (int(j), s, [float(x) for x in c])
+            for j, c in enumerate(model.clusterCenters())
+        )
+    return emb.sparkSession.createDataFrame(
+        rows, "cent_id int, sub_id int, c_sub array<double>"
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    k: int = ANN_K,
+    shortlist: int = 100,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """The production PQ pipeline: ADC SHORTLIST (pq_topk, compressed
+    scan — candidates never touch full vectors) → EXACT squared-L2
+    re-rank of the shortlist only. Compression does the corpus-scale
+    work; precision costs O(queries·shortlist) full-vector reads — the
+    standard two-stage trade (Jégou et al. §V). Recall against exact
+    top-k is bounded by the shortlist stage and tested
+    (tests/test_simsearch.py)."""
+    cand = pq_topk(emb, k=shortlist, n_queries=n_queries).select(
+        "q_id", "vec_id"
+    )
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    q = e.orderBy("vec_id").limit(n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(e, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_l2sq(F.col("q_emb"), F.col("emb")), 6).alias("l2sq"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("l2sq").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "l2sq", "rank")
+    )

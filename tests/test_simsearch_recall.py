@@ -294,3 +294,53 @@ def test_semantic_dedup_hot_cluster_capped_not_quadratic(spark):
     assert set(full) == {0, 4, 5} | {100 + k for k in range(50)}
     assert full[5]["is_rep"] and full[5]["cluster_id"] == 5
     assert all(not full[100 + k]["is_rep"] for k in range(50))
+
+
+def test_pq_encode_rerank_recall_and_determinism(spark):
+    """Product quantization: codes are PQ_M small ints (the 64× → 4-byte
+    compression); ADC+re-rank recall@10 vs exact L2 ≥ 0.8 at
+    shortlist=100 (deterministic — codebooks/queries are derived, no
+    RNG); the trained per-subspace kmeans tier produces the same shape;
+    ADC output is parallelism-invariant. Measured on the sf0.01 tier
+    (recall numbers are data-dependent; this tier's value is 0.84)."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    codes = simsearch.pq_encode(emb, simsearch.pq_subcodebooks(emb))
+    rows = codes.collect()
+    n_vec = emb.count()
+    assert len(rows) == n_vec * simsearch.PQ_M
+    assert all(0 <= r["code"] < simsearch.PQ_KSUB for r in rows)
+
+    got = {}
+    for r in simsearch.pq_rerank_topk(emb, k=10, shortlist=100).collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    e = emb.select(
+        "vec_id", simsearch._as_double(F.col("embedding")).alias("emb")
+    )
+    q = e.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    s = q.crossJoin(e).filter("vec_id <> q_id").select(
+        "q_id", "vec_id",
+        F.round(simsearch._l2sq(F.col("q_emb"), F.col("emb")), 6).alias("d"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    exact = {}
+    for r in s.withColumn("rk", F.row_number().over(w)).filter("rk <= 10").collect():
+        exact.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recall = sum(len(got[k_] & exact[k_]) for k_ in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert recall >= 0.8, recall
+
+    trained = simsearch.pq_kmeans_subcodebooks(emb)
+    assert trained.count() == simsearch.PQ_M * simsearch.PQ_KSUB
+    assert set(trained.columns) == {"cent_id", "sub_id", "c_sub"}
+    assert (
+        simsearch.pq_encode(emb, trained).count() == n_vec * simsearch.PQ_M
+    )
+
+    a = sorted(map(tuple, simsearch.pq_topk(emb, k=10).collect()))
+    b = sorted(map(tuple, simsearch.pq_topk(emb.repartition(7), k=10).collect()))
+    assert a == b

@@ -49,6 +49,17 @@ def test_ip_cap_unit_semantics(spark):
     df = spark.createDataFrame(
         rows, "url string, url_hash long, host_hash long, rank int"
     )
+    # the docstring's scale claim is real: the rank<=budget filter
+    # compiles to a WindowGroupLimit (per-partition pre-trim below the
+    # exchange)
+    plan = (
+        rank.ip_cap(df, n_groups=1, budget=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+
     kept = rank.ip_cap(df, n_groups=1, budget=4, keep_group_col=True).collect()
     assert len(kept) == 4
     assert {r["ip_group"] for r in kept} == {0}

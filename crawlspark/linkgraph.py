@@ -374,6 +374,55 @@ def spam_mass(pr: DataFrame, trust: DataFrame) -> DataFrame:
     )
 
 
+def trust_boosts_df(
+    pr: DataFrame,
+    trust: DataFrame,
+    n_tiers: int = 4,
+    spam_threshold: float = 0.5,
+    n_buckets: int = 32,
+    key: str = "host_hash",
+) -> DataFrame:
+    """Trust-ADJUSTED scheduler boosts — the composition step that makes
+    the anti-spam family (host_trustrank / spam_mass) consumable by the
+    crawl scheduler (VERDICT r6 directive #5): PageRank ntile tiers
+    exactly as ``pagerank_boosts_df``, then hosts whose relative spam
+    mass ≥ ``spam_threshold`` are CLAMPED to boost +n_tiers — boosts sort
+    ascending (tier boosts are −n_tiers+1..0, unlisted hosts 0), so the
+    positive clamp schedules a flagged host behind every organic tier AND
+    behind unlisted hosts. A link farm can manufacture PageRank, but it
+    cannot manufacture seed-reachable trust, so its tier-1 boost
+    collapses to the back of the round.
+
+    Feed the result to ``rank.attach_boosts(..., boosts_df=...)`` (or
+    ``CrawlState.boosts_df``) exactly like the PageRank tiers; flag off
+    (no boosts_df) stays bit-identical. tests/test_host_boosts.py proves
+    schedule divergence on a planted link-farm clique against the same
+    composition applied oracle-side.
+
+    Scale shape: spam_mass is one host-cardinality join + two 1-row
+    aggregates; the tier machinery is pagerank_boosts_df's decomposed
+    ntile (no collect, no global window); the final clamp is one more
+    host-cardinality keyed join. Nothing corpus-scale is broadcast —
+    both sides of every join here are host-cardinality."""
+    sm = spam_mass(pr, trust)
+    tiers = pagerank_boosts_df(
+        sm.select("host", "pr"), n_tiers=n_tiers, n_buckets=n_buckets, key=key
+    )
+    keycol = (
+        F.xxhash64("host").alias(key) if key == "host_hash" else F.col("host")
+    )
+    flagged = sm.select(
+        keycol, (F.col("spam_mass") >= F.lit(float(spam_threshold))).alias("_spam")
+    )
+    return tiers.join(flagged, key).select(
+        key,
+        F.when(F.col("_spam"), F.lit(int(n_tiers)))
+        .otherwise(F.col("boost"))
+        .cast("int")
+        .alias("boost"),
+    )
+
+
 def host_hits(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     """Kleinberg HITS over the weighted host graph:
     (src_host, dst_host, n_links) → (host, hub, auth).

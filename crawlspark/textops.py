@@ -44,6 +44,37 @@ def words_col(text_col="text"):
     return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
 
 
+def tokens_col(text_col="text", tokenizer="ws"):
+    """The tokenizer seam (one choke point for every token budget in the
+    curation family — token_shards, pack_sequences, corpus_mix,
+    mix_weights thread a ``tokenizer=`` through here). Returns an
+    array<string> column of tokens:
+
+    - ``"ws"`` (default): ``words_col`` — the whitespace form every
+      existing oracle mirrors; default digests are unchanged because the
+      emitted expression is IDENTICAL.
+    - ``"regex"``: the TOKEN_REGEX BPE-style pre-tokenizer (letter runs /
+      digit runs / single punctuation — the GPT-2 pre-tokenizer's shape),
+      still pure JVM (`regexp_extract_all`) and exactly mirrorable in
+      DuckDB.
+    - callable: ``(text Column) -> array<string> Column`` — the
+      production form. A real subword tokenizer (BPE/SentencePiece merges
+      over a broadcast vocab) plugs in as an Arrow-batched pandas UDF
+      returning the token array; operators never change. Tested with a
+      non-whitespace stub in tests/test_curation.py.
+
+    Scale note: counting ops only ever take ``F.size`` of this column, so
+    Catalyst prunes the array before any shuffle — a tokenizer swap never
+    changes an operator's plan shape, only the map-side expression."""
+    if callable(tokenizer):
+        return tokenizer(F.col(text_col))
+    if tokenizer == "ws":
+        return words_col(text_col)
+    if tokenizer == "regex":
+        return F.expr(f"regexp_extract_all({text_col}, '{TOKEN_REGEX}', 0)")
+    raise ValueError(f"unknown tokenizer: {tokenizer!r}")
+
+
 def shingles_col(words, n: int = 3):
     """Word n-gram shingles, [] when the doc is shorter than n words."""
     return F.when(
@@ -766,10 +797,12 @@ def line_dedup(
     )
 
 
-def corpus_mix(docs: DataFrame) -> DataFrame:
+def corpus_mix(docs: DataFrame, tokenizer="ws") -> DataFrame:
     """Training-mix accounting: per-source doc / token / char totals and
     each source's token share of the corpus — the numbers a mix-weighting
-    step (hash_sample cutoffs) is derived from.
+    step (hash_sample cutoffs) is derived from. ``tokenizer`` selects the
+    token budget's unit (tokens_col seam); the default is plan-identical
+    to the pre-seam form.
 
     Scale shape: one map-side-combined groupBy on `source` (cardinality =
     number of sources, tiny); the share denominator is a window sum over
@@ -778,7 +811,7 @@ def corpus_mix(docs: DataFrame) -> DataFrame:
 
     agg = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(words_col())).cast("bigint").alias("n_tokens"),
+        F.sum(F.size(tokens_col(tokenizer=tokenizer))).cast("bigint").alias("n_tokens"),
         F.sum(F.length("text")).cast("bigint").alias("n_chars"),
     )
     total = F.sum("n_tokens").over(Window.partitionBy())
@@ -791,7 +824,7 @@ def corpus_mix(docs: DataFrame) -> DataFrame:
     )
 
 
-def mix_weights(docs: DataFrame, alpha: float = 0.3) -> DataFrame:
+def mix_weights(docs: DataFrame, alpha: float = 0.3, tokenizer="ws") -> DataFrame:
     """Temperature-scaled sampling weights per corpus source — the
     exponentiated-share mixing rule multilingual LM training uses to keep
     low-resource sources from vanishing (XLM-R / multilingual-BERT,
@@ -811,7 +844,7 @@ def mix_weights(docs: DataFrame, alpha: float = 0.3) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy()
-    mixed = corpus_mix(docs).withColumn(
+    mixed = corpus_mix(docs, tokenizer=tokenizer).withColumn(
         "_pow",
         F.pow(
             F.col("n_tokens").cast("double")
@@ -834,7 +867,10 @@ def mix_weights(docs: DataFrame, alpha: float = 0.3) -> DataFrame:
 
 
 def token_shards(
-    docs: DataFrame, budget: int = 4096, bucket_width: int | None = None
+    docs: DataFrame,
+    budget: int = 4096,
+    bucket_width: int | None = None,
+    tokenizer="ws",
 ) -> DataFrame:
     """Token-budget sharding — the sequence-packing / shard-boundary step
     of a training-data pipeline: docs in deterministic doc_id order are
@@ -865,7 +901,7 @@ def token_shards(
         bucket_width = max(16, math.isqrt(max(int(docs.count()), 1)))
     tokens = docs.select(
         "doc_id",
-        F.size(words_col()).cast("bigint").alias("n_tokens"),
+        F.size(tokens_col(tokenizer=tokenizer)).cast("bigint").alias("n_tokens"),
         (F.col("doc_id") / bucket_width).cast("bigint").alias("bkt"),
     )
     from pyspark.sql import Window
@@ -917,6 +953,7 @@ def pack_sequences(
     context_len: int = 2048,
     n_shards: int | None = None,
     salt: str = "pack",
+    tokenizer="ws",
 ) -> DataFrame:
     """GPT-style sequence packing (concat-and-chunk): documents are
     pseudo-shuffled deterministically, concatenated per shard, and cut
@@ -951,7 +988,7 @@ def pack_sequences(
         n_shards = max(1, math.isqrt(max(int(docs.count()), 1)))
     t = docs.select(
         "doc_id",
-        F.size(words_col()).cast("bigint").alias("n_tokens"),
+        F.size(tokens_col(tokenizer=tokenizer)).cast("bigint").alias("n_tokens"),
         (_md5_hex_byte("doc_id", salt + "shard") % n_shards)
         .cast("int")
         .alias("shard"),
@@ -1593,6 +1630,100 @@ def bigram_logprob(
             F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hit_bigrams"),
             F.round(F.avg("logp"), 6).alias("mean_logprob"),
         )
+    )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    n_tiles: int = 3,
+    n_buckets: int = 32,
+    min_count: int = 2,
+    lam: float = 0.7,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per corpus
+    source, docs split into ``n_tiles`` equal-count tiers by LM score —
+    tile 1 = "head" (most-probable text, lowest perplexity), last =
+    "tail"; CCNet keeps head+middle for training and holds the tail for
+    audit. The LM is the corpus-self-trained interpolated bigram
+    (``bigram_logprob``); higher mean_logprob = lower perplexity, so
+    tiles order by mean_logprob DESC (doc_id asc ties).
+
+    Returns (doc_id, source, mean_logprob, tile, bucket) with bucket one
+    of head/middle/tail when n_tiles=3 (else "t<k>").
+
+    Scale shape: the per-source NTILE is NEVER a per-source global window
+    (a single source can be most of a 10^10-doc corpus). It decomposes
+    exactly like linkgraph.pagerank_boosts_df, partitioned by source:
+    (1) one source-cardinality aggregate carrying per-source N and
+    ``n_buckets-1`` percentile_approx boundaries (broadcast); (2) rows
+    bucket by "how many boundaries ≥ my score" — monotone in descending
+    score and tie-consistent, so each (source, score) tie-group lands
+    wholly in one bucket; (3) row_number per (source,bucket) — the only
+    sort, ≈N_source/n_buckets rows per partition; (4) bucket sizes →
+    per-source running offsets (a metadata window over ≤ sources×buckets
+    rows) broadcast back = exact per-source rank; (5) the same
+    pure-integer closed-form ntile as pagerank_boosts_df (div/mod only —
+    no float rank division). Equality with SQL NTILE is asserted by the
+    DuckDB oracle (ppl_buckets) and pagerank_boosts_rel proves the
+    closed form against NTILE independently."""
+    from pyspark.sql import Window
+
+    lp = bigram_logprob(docs, min_count=min_count, lam=lam).select(
+        "doc_id", "mean_logprob"
+    )
+    d = lp.join(docs.select("doc_id", "source"), "doc_id")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.percentile_approx(
+            "mean_logprob",
+            [i / n_buckets for i in range(1, n_buckets)],
+            1_000_000,
+        ).alias("_bounds"),
+    )
+    b = d.join(F.broadcast(agg), "source").withColumn(
+        "_bucket", F.expr("size(filter(_bounds, x -> x >= mean_logprob))")
+    )
+    wb = Window.partitionBy("source", "_bucket").orderBy(
+        F.col("mean_logprob").desc(), F.col("doc_id").asc()
+    )
+    local = b.withColumn("_lr", F.row_number().over(wb))
+    sizes = local.groupBy("source", "_bucket").agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "source",
+        "_bucket",
+        F.coalesce(F.sum("_sz").over(wo), F.lit(0)).alias("_off"),
+    )
+    g = local.join(F.broadcast(offs), ["source", "_bucket"]).withColumn(
+        "_rank", (F.col("_off") + F.col("_lr")).cast("long")
+    )
+    k = int(n_tiles)
+    tile = F.expr(
+        f"CASE WHEN _rank <= (_n % {k}) * (_n div {k} + 1)"
+        f" THEN (_rank + _n div {k}) div (_n div {k} + 1)"
+        f" ELSE _n % {k} + (_rank - (_n % {k}) * (_n div {k} + 1)"
+        f" + _n div {k} - 1) div (_n div {k}) END"
+    )
+    names = (
+        ["head", "middle", "tail"] if k == 3 else [f"t{i + 1}" for i in range(k)]
+    )
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in names]), F.col("tile").cast("int")
+    )
+    return (
+        g.select(
+            "doc_id",
+            "source",
+            "mean_logprob",
+            tile.cast("int").alias("tile"),
+        )
+        .withColumn("bucket", label)
     )
 
 

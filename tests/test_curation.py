@@ -839,3 +839,96 @@ def test_source_length_stats_hand_checked(spark):
     got7 = {r["source"]: r.asDict()
             for r in textops.source_length_stats(docs.repartition(7)).collect()}
     assert got == got7
+
+
+def test_tokenizer_seam_threads_through_budget_ops(spark, docs):
+    """VERDICT r6 directive #6: every token budget flows through ONE seam
+    (textops.tokens_col). 'regex' must change the budgets exactly as the
+    TOKEN_REGEX count says; a CUSTOM callable (the production BPE form:
+    an Arrow-batched pandas UDF returning the token array) must thread
+    through token_shards with no operator change; the 'ws' default must
+    stay value-identical to the pre-seam output."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import functions as F
+    from crawlspark import textops
+
+    # default == explicit ws == historical words_col semantics
+    base = textops.token_shards(docs, budget=64, bucket_width=16)
+    ws = textops.token_shards(docs, budget=64, bucket_width=16, tokenizer="ws")
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, ws.collect()))
+
+    # regex budgets equal an independent recount — over PLANTED
+    # punctuation (the raw synthetic corpus is pure space-separated
+    # words, on which regex == ws by construction)
+    pdocs = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(". x!")).alias("text"),
+    )
+    rx = {
+        r["doc_id"]: r["n_tokens"]
+        for r in textops.token_shards(
+            pdocs, budget=64, bucket_width=16, tokenizer="regex"
+        ).collect()
+    }
+    expect = {
+        r["doc_id"]: r["n"]
+        for r in pdocs.select(
+            "doc_id",
+            F.expr(
+                f"size(regexp_extract_all(text, '{textops.TOKEN_REGEX}', 0))"
+            ).cast("bigint").alias("n"),
+        ).collect()
+    }
+    assert rx == expect
+    ws2 = {
+        r["doc_id"]: r["n_tokens"]
+        for r in textops.token_shards(
+            pdocs, budget=64, bucket_width=16, tokenizer="ws"
+        ).collect()
+    }
+    # non-vacuous: appending '. x!' adds strictly more regex tokens
+    # ('.' , 'x', '!' all split) than ws tokens ('.' glues to the last
+    # word) on EVERY doc
+    assert rx.keys() == ws2.keys() and all(rx[d] > ws2[d] for d in rx)
+
+    # custom vectorized tokenizer: stub "BPE" = 2-char pieces of each word
+    @pandas_udf("array<string>")
+    def stub_bpe(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: [
+                w[i : i + 2]
+                for w in (t or "").lower().split(" ")
+                if w
+                for i in range(0, len(w), 2)
+            ]
+        )
+
+    custom = textops.token_shards(
+        docs, budget=64, bucket_width=16, tokenizer=lambda c: stub_bpe(c)
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in custom.collect()}
+    import math
+
+    exp = {
+        r["doc_id"]: sum(
+            math.ceil(len(w) / 2)
+            for w in (r["text"] or "").lower().split(" ")
+            if w
+        )
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == exp
+
+    # mix_weights threads the same seam (budgets shift on planted text)
+    pd2 = docs.select(
+        "doc_id", "source", F.concat(F.col("text"), F.lit(". x!")).alias("text")
+    )
+    mw_ws = {r["source"]: r["n_tokens"] for r in textops.mix_weights(pd2).collect()}
+    mw_rx = {
+        r["source"]: r["n_tokens"]
+        for r in textops.mix_weights(pd2, tokenizer="regex").collect()
+    }
+    assert mw_ws != mw_rx
+    with __import__("pytest").raises(ValueError):
+        textops.tokens_col(tokenizer="nope")

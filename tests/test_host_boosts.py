@@ -166,3 +166,89 @@ def test_pagerank_boosts_bridge(spark):
     got = _engine_order(spark, cfg, "/tmp/crawlspark-test-boost-pr")
     oracle = simulate(fixtures.seed_urls(), cfg, FetchSpec(), max_rounds=ROUNDS)
     assert got == oracle.crawl_order
+
+
+def test_trust_boosts_demote_link_farm_in_schedule(spark):
+    """VERDICT r6 directive #5: the anti-spam composition
+    (linkgraph.trust_boosts_df) must BIND to crawl order through the
+    existing boosts_df seam. A planted link-farm host carries top
+    PageRank but zero trust (spam_mass 1.0): under plain PageRank tiers
+    it rides tier 1; under trust-adjusted boosts it clamps to +n_tiers
+    and schedules behind every other host in every round. The same
+    policy replayed as a config tuple through the pure-Python oracle is
+    bit-equal (the attach_boosts two-source equivalence)."""
+    from crawlspark.xxh64 import hash_str
+
+    hosts = [f"h{i}.example" for i in range(7)]
+    farm = "h1.example"
+    pr = spark.createDataFrame(
+        [(farm, 0.4)] + [(h, 0.1) for h in hosts if h != farm],
+        "host string, pr double",
+    )
+    trust = spark.createDataFrame(
+        [(farm, 0.0)] + [(h, 0.1) for h in hosts if h != farm],
+        "host string, trust double",
+    )
+    pb = linkgraph.pagerank_boosts_df(pr, n_tiers=4)
+    tb = linkgraph.trust_boosts_df(pr, trust, n_tiers=4, spam_threshold=0.5)
+    pb_map = {r["host_hash"]: r["boost"] for r in pb.collect()}
+    tb_map = {r["host_hash"]: r["boost"] for r in tb.collect()}
+    fh = hash_str(farm)
+    assert pb_map[fh] == -3  # manufactured rank = top tier
+    assert tb_map[fh] == 4  # trust clamp = behind everything
+    assert all(b == pb_map[h] for h, b in tb_map.items() if h != fh)
+
+    def _order_with(bdf, ckpt):
+        seeds = fixtures.seed_urls()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        st = rnd.init_crawl(
+            spark,
+            spark.createDataFrame([(u,) for u in seeds], SEEDS),
+            CrawlConfig(round_capacity=None),
+            FetchSpec(),
+            ckpt=ckpt,
+        )
+        st.boosts_df = bdf
+        rnd.run_crawl(st, max_rounds=ROUNDS)
+        return [
+            (r["round"], r["seq"], r["url"])
+            for r in rnd.read_crawl_order(st).collect()
+        ]
+
+    via_pr = _order_with(pb, "/tmp/crawlspark-test-trust-pr")
+    via_tr = _order_with(tb, "/tmp/crawlspark-test-trust-tb")
+    assert via_pr != via_tr
+
+    def split(order):
+        per_round = {}
+        for r, s, u in order:
+            per_round.setdefault(r, []).append((s, f"//{farm}" in u))
+        return per_round
+
+    tr_rounds = split(via_tr)
+    # non-vacuous: the farm is actually crawled under trust boosts ...
+    assert any(isf for rs in tr_rounds.values() for _, isf in rs)
+    # ... but in EVERY round all its URLs sort after all non-farm URLs
+    for r, rs in tr_rounds.items():
+        farm_seqs = [s for s, isf in rs if isf]
+        org_seqs = [s for s, isf in rs if not isf]
+        if farm_seqs and org_seqs:
+            assert min(farm_seqs) > max(org_seqs), r
+    # under plain PageRank tiers it is NOT always last (tier 1 leads)
+    pr_rounds = split(via_pr)
+    assert any(
+        fs and os_ and min(fs) < max(os_)
+        for fs, os_ in (
+            ([s for s, i in rs if i], [s for s, i in rs if not i])
+            for rs in pr_rounds.values()
+        )
+    )
+    # oracle mirror: identical policy as a tuple through the simulator
+    tup = tuple((h, int(tb_map[hash_str(h)])) for h in hosts)
+    oracle = simulate(
+        fixtures.seed_urls(),
+        CrawlConfig(round_capacity=None, host_boosts=tup),
+        FetchSpec(),
+        max_rounds=ROUNDS,
+    )
+    assert via_tr == oracle.crawl_order

@@ -98,3 +98,61 @@ def test_cdc_chunks_edit_locality_and_invariants(spark):
         key=lambda t: (t[0], t[1]),
     )
     assert got7 == exp
+
+
+def test_cdc_numpy_core_bit_identical_to_scalar():
+    """VERDICT r6 directive #2: the vectorized gear scan
+    (media.cdc_chunks_of_np) must reproduce the scalar reference core
+    row-for-row — offsets, lengths, indices, and md5s — across payload
+    shapes (empty, shorter than min_len, exactly min/max_len, random,
+    adversarial all-zero / all-same-byte runs) and parameter sweeps,
+    including the min_len < avg_bits regime (where it must fall back and
+    still be identical by construction)."""
+    import random
+
+    from crawlspark import media
+
+    rng = random.Random(7)
+    payloads = [
+        b"",
+        b"a",
+        bytes(range(16)),          # == default min_len
+        bytes(128),                # all zeros, == default max_len
+        b"\xab" * 300,             # constant run
+        bytes(rng.randrange(256) for _ in range(1)),
+        bytes(rng.randrange(256) for _ in range(15)),
+        bytes(rng.randrange(256) for _ in range(257)),
+        bytes(rng.randrange(256) for _ in range(4096)),
+        bytes(rng.randrange(256) for _ in range(65537)),
+    ]
+    params = [
+        (16, 6, 128),   # defaults
+        (16, 4, 64),
+        (32, 8, 4096),
+        (8, 6, 32),     # min_len just above avg_bits
+        (6, 6, 48),     # min_len == avg_bits (boundary of the identity)
+        (4, 6, 32),     # min_len < avg_bits: fallback path
+    ]
+    for min_len, avg_bits, max_len in params:
+        for i, p in enumerate(payloads):
+            ref = f"ref/{i}"
+            a = media.cdc_chunks_of(ref, p, min_len, avg_bits, max_len)
+            b = media.cdc_chunks_of_np(ref, p, min_len, avg_bits, max_len)
+            assert a == b, (min_len, avg_bits, max_len, i, a[:3], b[:3])
+
+
+def test_cdc_chunk_table_engines_identical(spark):
+    """The Spark stage under both engines (numpy default / python
+    reference) yields identical chunk tables over the mirror universe."""
+    from crawlspark import media
+
+    df = media.synth_media_mirror_df(spark, 60, 5)
+    a = sorted(
+        map(tuple, media.cdc_chunk_table(df, engine="numpy").collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    b = sorted(
+        map(tuple, media.cdc_chunk_table(df, engine="python").collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert a == b and len(a) > 60

@@ -170,6 +170,22 @@ class CrawlConfig:
     # re-enqueues. Count lands in round_info + lineage as
     # stage='not_modified'. Oracle-mirrored (oracle/simulator.py).
     conditional_fetch: bool = False
+    # recrawl_state write engine (VERDICT r6 directive #4 — the state was
+    # whole-rewritten every round, O(all URLs ever fetched) write
+    # amplification once recrawl is on). 'auto' (default) mirrors the
+    # frontier_delta discipline: below recrawl_delta_min_rows tracked rows
+    # the stored engine's one columnar rewrite is cheaper than the delta
+    # chain's merge-on-read resolve; above it only O(touched rows) may be
+    # written per round. Delta rounds write a round-stamped
+    # recrawl_state_delta (fetched + newly tracked + due-latched rows);
+    # full states are BASE rounds (first write + every
+    # compact_recrawl_every), and reads resolve latest-version-per-url_hash
+    # — the Iceberg MERGE-INTO shape on the parquet engine
+    # (SnapshotStore.read_recrawl). Both engines are run+resume bit-equal
+    # (tests/test_recrawl_delta.py).
+    recrawl_delta: bool | str = "auto"
+    recrawl_delta_min_rows: int = 10_000_000
+    compact_recrawl_every: int | None = 8
     # opt-in per-IP politeness (Heritrix queue-per-IP analog): virtual
     # hosting maps many hosts to one server, so per-host budgets alone
     # can still hammer a box. A deterministic resolver stub assigns each
@@ -258,6 +274,12 @@ class CrawlConfig:
             )
         if self.frontier_delta not in (True, False, "auto"):
             raise ValueError("frontier_delta must be True, False or 'auto'")
+        if self.recrawl_delta not in (True, False, "auto"):
+            raise ValueError("recrawl_delta must be True, False or 'auto'")
+        if self.compact_recrawl_every is not None and self.compact_recrawl_every < 0:
+            raise ValueError(
+                "compact_recrawl_every must be >= 0 (0/None = never compact)"
+            )
         if self.compact_frontier_every is not None and self.compact_frontier_every < 0:
             raise ValueError(
                 "compact_frontier_every must be >= 0 (0/None = never compact)"

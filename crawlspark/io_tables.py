@@ -294,6 +294,64 @@ class SnapshotStore:
             out = deltas if out is None else out.unionByName(deltas)
         return out
 
+    # -- delta recrawl_state engine (cfg.recrawl_delta) -----------------------
+    # Layout mirrors the frontier deltas, but the update is an UPSERT (rows
+    # are touched, never deleted), so the chain resolves merge-on-read:
+    # full `recrawl_state` dirs exist at BASE rounds (first write + every
+    # compact_recrawl_every); other rounds write a `recrawl_state_delta` of
+    # ONLY the rows the round changed (fetched + newly tracked + due-latched),
+    # stamped with a `_rsv` round version. Reading at round r = base rows
+    # (version = base round) ∪ delta rows (b, r], latest version per
+    # url_hash wins — the Iceberg MERGE-INTO read shape, with compaction
+    # bounding chain length exactly like compact_seen/frontier bases.
+
+    def recrawl_bases(self) -> list[int]:
+        return self.read_manifest().get("recrawl_bases", [])
+
+    def record_recrawl_base(self, round_: int) -> None:
+        m = self.read_manifest()
+        m.setdefault("recrawl_bases", [])
+        if round_ not in m["recrawl_bases"]:
+            m["recrawl_bases"].append(round_)
+            m["recrawl_bases"].sort()
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+
+    def read_recrawl(self, upto_round: int) -> DataFrame | None:
+        """The recrawl_state table as of `upto_round`, engine-agnostic:
+        latest recorded base ≤ upto_round plus the delta chain after it,
+        resolved latest-version-per-url_hash (one keyed window — at most
+        one row per (url_hash, round) by construction, so deterministic).
+        Legacy / pure-stored checkpoints (full dir, no recorded base)
+        read the full dir directly."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        bases = [b for b in self.recrawl_bases() if b <= upto_round]
+        if not bases:
+            if self.exists(upto_round, "recrawl_state"):
+                return self.read(upto_round, "recrawl_state")
+            return None
+        b = max(bases)
+        dirs = [
+            self._dir(t, "recrawl_state_delta")
+            for t in range(b + 1, upto_round + 1)
+            if self.exists(t, "recrawl_state_delta")
+        ]
+        if not dirs:  # stored rounds / fresh base: no resolve shuffle
+            return self.read(b, "recrawl_state")
+        out = self.read(b, "recrawl_state").withColumn(
+            "_rsv", F.lit(int(b))
+        ).unionByName(self.spark.read.parquet(*dirs))
+        w = Window.partitionBy("url_hash").orderBy(F.col("_rsv").desc())
+        return (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_rsv")
+        )
+
     def read_all(self, table: str, upto_round: int) -> DataFrame | None:
         dirs = [
             self._dir(r, table) for r in range(upto_round + 1) if self.exists(r, table)
@@ -362,6 +420,16 @@ class SnapshotStore:
         else:
             for r in range(0, upto):
                 _drop(r, "bloom")
+        rb = [b for b in self.recrawl_bases() if b <= upto]
+        if rb:
+            # the latest base folds the chain before it
+            for r in range(0, max(rb)):
+                _drop(r, "recrawl_state")
+                _drop(r, "recrawl_state_delta")
+        else:
+            # pure stored engine: resume reads only the last full state
+            for r in range(0, upto):
+                _drop(r, "recrawl_state")
         for r in range(0, upto):
             _drop(r, "retry_queue")
             _drop(r, "host_state")
@@ -389,6 +457,8 @@ class SnapshotStore:
             m["frontier_bases"] = [b for b in m["frontier_bases"] if b <= round_]
         if "bloom_bases" in m:
             m["bloom_bases"] = [b for b in m["bloom_bases"] if b <= round_]
+        if "recrawl_bases" in m:
+            m["recrawl_bases"] = [b for b in m["recrawl_bases"] if b <= round_]
         with open(self._manifest_path(), "w") as f:
             json.dump(m, f, indent=1)
 

@@ -162,6 +162,27 @@ def resolve_frontier_delta(cfg: CrawlConfig, store: SnapshotStore, r: int) -> bo
     return n is not None and int(n) >= cfg.frontier_delta_min_rows
 
 
+def resolve_recrawl_delta(cfg: CrawlConfig, store: SnapshotStore, r: int) -> bool:
+    """Per-round recrawl_state-engine choice, the resolve_frontier_delta
+    discipline applied to the refresh-state table (VERDICT r6 #4): 'auto'
+    (default) selects by the tracked-row counter the manifest carries
+    (round_info[r-1].recrawl_rows) — below cfg.recrawl_delta_min_rows the
+    stored engine's one columnar rewrite beats the delta chain's
+    merge-on-read resolve; above it only the O(touched) delta may be
+    written (a 10^10-row state table cannot be rewritten whole per
+    round). A stored round records a recrawl base, so round kinds
+    interleave freely on one checkpoint; a missing counter (legacy
+    checkpoint) resolves to stored, whose write re-seeds the counter —
+    auto self-heals instead of failing."""
+    if cfg.recrawl_delta is True:
+        return True
+    if not cfg.recrawl_delta:
+        return False
+    info = store.read_manifest().get("round_info", {}).get(str(r - 1), {})
+    n = info.get("recrawl_rows")
+    return n is not None and int(n) >= cfg.recrawl_delta_min_rows
+
+
 def _resolve_robots_mode(
     cfg: CrawlConfig, robots_df: DataFrame | None, n_hosts: int | None = None
 ) -> bool:
@@ -703,8 +724,9 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     # a validator, so first fetches are untouched by construction. -------
     n_not_modified = 0
     obs_304 = None
-    if cfg.conditional_fetch and store.exists(r - 1, "recrawl_state"):
-        validators = store.read(r - 1, "recrawl_state").select(
+    _rs_prev = store.read_recrawl(r - 1) if cfg.conditional_fetch else None
+    if _rs_prev is not None:
+        validators = _rs_prev.select(
             "url", F.col("fingerprint").alias("_validator")
         )
         obs_304 = Observation()
@@ -809,15 +831,13 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     # quota are deliberately untouched — a refresh is not a discovery. ----
     n_recrawled = 0
     recrawl_rows = None
+    n_recrawl_state = None
     if cfg.recrawl_every:
         from .parse import content_fingerprint
         from . import sitemaps as _sm
 
-        prev_rstate = (
-            store.read(r - 1, "recrawl_state")
-            if store.exists(r - 1, "recrawl_state")
-            else None
-        )
+        use_rdelta = resolve_recrawl_delta(cfg, store, r)
+        prev_rstate = store.read_recrawl(r - 1)
         fetched_now = docs_r.select(
             "url",
             "status",
@@ -838,43 +858,112 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             ),
             "url",
         )
-        rstate = _sm.recrawl_state_merge(prev_rstate, fetched_now, r)
-        obs_rc = None
-        if r % cfg.recrawl_every == 0:
-            d = _sm.recrawl_due(rstate, r, cfg.recrawl_interval)
-            obs_rc = Observation()
-            rstate = d.withColumn(
-                "enqueued_round",
-                F.when(F.col("due"), F.lit(r))
-                .otherwise(F.col("enqueued_round"))
-                .cast("int"),
-            ).drop("due", "recrawl_mult4").observe(
-                obs_rc,
-                F.sum(
-                    (F.col("enqueued_round") == F.lit(r)).cast("long")
-                ).alias("n"),
-            )
-        store.write(rstate, r, "recrawl_state")
-        if obs_rc is not None:
-            n_recrawled = int(obs_rc.get["n"] or 0)
-            if n_recrawled:
-                recrawl_rows = rank.attach_host_budget(
-                    store.read(r, "recrawl_state")
-                    .filter(F.col("enqueued_round") == r)
-                    .select(
-                        "url",
-                        "url_hash",
-                        "host",
-                        "host_hash",
-                        "priority",
-                        "crawl_depth",
-                    )
-                    .withColumn("discovered_round", F.lit(r))
-                    .withColumn("not_before_round", F.lit(r + 1))
-                    .withColumn("state", F.lit("pending")),
-                    st.robots_df,
-                    cfg,
+        due_round = r % cfg.recrawl_every == 0
+
+        def _enqueue_rows(src_df):
+            return rank.attach_host_budget(
+                src_df.filter(F.col("enqueued_round") == r)
+                .select(
+                    "url",
+                    "url_hash",
+                    "host",
+                    "host_hash",
+                    "priority",
+                    "crawl_depth",
                 )
+                .withColumn("discovered_round", F.lit(r))
+                .withColumn("not_before_round", F.lit(r + 1))
+                .withColumn("state", F.lit("pending")),
+                st.robots_df,
+                cfg,
+            )
+
+        if use_rdelta and prev_rstate is not None:
+            # --- delta engine (cfg.recrawl_delta): write ONLY the rows
+            # this round touches (fetched + newly tracked + due-latched)
+            # — O(batch + due), never O(state). The restricted merge is
+            # exact because the merge changes a row iff its url_hash was
+            # fetched; due rows are provably disjoint (a row fetched this
+            # round has last_fetch_round == r, never due). ---------------
+            prev_slice = prev_rstate.join(
+                fetched_now.select("url_hash"), "url_hash", "semi"
+            )
+            delta = _sm.recrawl_state_merge(
+                prev_slice, fetched_now, r, keep_new_marker=True
+            )
+            if due_round:
+                full = _sm.recrawl_state_merge(prev_rstate, fetched_now, r)
+                d = _sm.recrawl_due(full, r, cfg.recrawl_interval)
+                delta = delta.unionByName(
+                    d.filter(F.col("due"))
+                    .withColumn("enqueued_round", F.lit(r).cast("int"))
+                    .drop("due", "recrawl_mult4")
+                    .withColumn("_is_new", F.lit(False))
+                )
+            obs_rc = Observation()
+            delta = delta.observe(
+                obs_rc,
+                F.coalesce(
+                    F.sum((F.col("enqueued_round") == F.lit(r)).cast("long")),
+                    F.lit(0),
+                ).alias("n"),
+                F.coalesce(
+                    F.sum(F.col("_is_new").cast("long")), F.lit(0)
+                ).alias("n_new"),
+            )
+            store.write(
+                delta.drop("_is_new").withColumn(
+                    "_rsv", F.lit(int(r)).cast("int")
+                ),
+                r,
+                "recrawl_state_delta",
+            )
+            n_recrawled = int(obs_rc.get["n"] or 0) if due_round else 0
+            prev_info = store.read_manifest().get("round_info", {}).get(
+                str(r - 1), {}
+            )
+            if prev_info.get("recrawl_rows") is not None:
+                n_recrawl_state = int(prev_info["recrawl_rows"]) + int(
+                    obs_rc.get["n_new"] or 0
+                )
+            if n_recrawled:
+                recrawl_rows = _enqueue_rows(
+                    store.read(r, "recrawl_state_delta")
+                )
+            if cfg.compact_recrawl_every and r % cfg.compact_recrawl_every == 0:
+                # fold the chain: resolved full state becomes a new base
+                # (the compact_seen / frontier-base discipline)
+                store.write(store.read_recrawl(r), r, "recrawl_state")
+                store.record_recrawl_base(r)
+        else:
+            # --- stored engine: one columnar whole-state rewrite; the
+            # full dir doubles as a delta-chain base so the two round
+            # kinds interleave freely on one checkpoint -------------------
+            rstate = _sm.recrawl_state_merge(prev_rstate, fetched_now, r)
+            obs_rc = None
+            if due_round:
+                d = _sm.recrawl_due(rstate, r, cfg.recrawl_interval)
+                obs_rc = Observation()
+                rstate = d.withColumn(
+                    "enqueued_round",
+                    F.when(F.col("due"), F.lit(r))
+                    .otherwise(F.col("enqueued_round"))
+                    .cast("int"),
+                ).drop("due", "recrawl_mult4").observe(
+                    obs_rc,
+                    F.sum(
+                        (F.col("enqueued_round") == F.lit(r)).cast("long")
+                    ).alias("n"),
+                )
+            obs_rn = Observation()
+            rstate = rstate.observe(obs_rn, F.count(F.lit(1)).alias("n_rows"))
+            store.write(rstate, r, "recrawl_state")
+            store.record_recrawl_base(r)
+            n_recrawl_state = int(obs_rn.get["n_rows"] or 0)
+            if obs_rc is not None:
+                n_recrawled = int(obs_rc.get["n"] or 0)
+            if n_recrawled:
+                recrawl_rows = _enqueue_rows(store.read(r, "recrawl_state"))
         _tick("recrawl")
 
     # --- parse (U-6) -> candidates -> new (J1): single fused Arrow pass ----
@@ -1133,6 +1222,9 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         info_counters["quota_dropped"] = n_quota_dropped
     if cfg.recrawl_every:
         info_counters["recrawled"] = n_recrawled
+        if n_recrawl_state is not None:
+            # tracked-row counter: resolve_recrawl_delta's 'auto' input
+            info_counters["recrawl_rows"] = n_recrawl_state
     if cfg.conditional_fetch:
         info_counters["not_modified"] = n_not_modified
     if cfg.ip_politeness_groups:

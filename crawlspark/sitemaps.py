@@ -326,7 +326,10 @@ def recrawl_due(state: DataFrame, r: int, interval: int) -> DataFrame:
 
 
 def recrawl_state_merge(
-    prev: DataFrame | None, fetched: DataFrame, r: int
+    prev: DataFrame | None,
+    fetched: DataFrame,
+    r: int,
+    keep_new_marker: bool = False,
 ) -> DataFrame:
     """Fold round ``r``'s fetch outcomes into the recrawl_state table
     (config.py `recrawl_every`; the estimation half of the refresh loop).
@@ -349,11 +352,17 @@ def recrawl_state_merge(
 
     Scale shape: one full-outer shuffle join keyed on url_hash —
     O(state + batch), same key the seen path shuffles on, AQE
-    skew-splittable; no broadcasts, no collects. The state rewrite is
-    whole-table per round (columnar, O(fetched-corpus)) — the same class
-    as the stored-frontier engine; at the 10^10 tier the identical merge
-    expresses as Iceberg MERGE INTO on the url_hash key (iceberg_store.py
-    seam) so only changed rows rewrite."""
+    skew-splittable; no broadcasts, no collects. The WRITE side is the
+    caller's engine choice (cfg.recrawl_delta, round.py): the stored
+    engine rewrites the table whole per round (columnar,
+    O(fetched-corpus)); the delta engine feeds this merge a
+    semi-join-restricted ``prev`` so the output IS the changed-row set —
+    O(batch) written per round, resolved merge-on-read with round-stamped
+    versions (SnapshotStore.read_recrawl), compacted on the frontier-base
+    cadence. That is the parquet-engine expression of Iceberg MERGE INTO
+    on the url_hash key (iceberg_store.py seam). ``keep_new_marker``
+    appends a transient ``_is_new`` boolean (first-200 rows) the delta
+    engine's row counter observes; callers drop it before writing."""
     f = fetched.select(
         F.col("url_hash").alias("f_url_hash"),
         F.col("url").alias("f_url"),
@@ -367,7 +376,7 @@ def recrawl_state_merge(
     )
     if prev is None:
         ok = f.filter(F.col("f_status") == 200)
-        return ok.select(
+        out0 = ok.select(
             F.col("f_url_hash").alias("url_hash"),
             F.col("f_url").alias("url"),
             F.col("f_host").alias("host"),
@@ -379,6 +388,9 @@ def recrawl_state_merge(
             F.lit(0).cast("long").alias("n_changed"),
             F.lit(0).cast("long").alias("n_unchanged"),
             F.lit(None).cast("int").alias("enqueued_round"),
+        )
+        return (
+            out0.withColumn("_is_new", F.lit(True)) if keep_new_marker else out0
         )
     p = prev.withColumn("p_present", F.lit(True))
     j = p.join(
@@ -432,6 +444,9 @@ def recrawl_state_merge(
         .otherwise(F.col("enqueued_round"))
         .cast("int")
         .alias("enqueued_round"),
+        # transient accounting marker (delta engine's state-row counter);
+        # callers drop it before any write/compare
+        *((((~in_prev) & got200).alias("_is_new"),) if keep_new_marker else ()),
     )
     return out
 

@@ -462,6 +462,9 @@ def simulate(
             round_info["quota_dropped"] = quota_dropped
         if cfg.recrawl_every:
             round_info["recrawled"] = n_recrawled
+            # tracked-row counter (engine: resolve_recrawl_delta 'auto'
+            # input) — the mirror is simply the state-table population
+            round_info["recrawl_rows"] = len(rc_state)
         if cfg.conditional_fetch:
             round_info["not_modified"] = n_not_modified
         if cfg.ip_politeness_groups:

@@ -258,10 +258,13 @@ def attach_boosts(
       driver-side policy hand-off for host sets ≲10^6; xxh64.hash_str ≡
       Spark xxhash64 maps the config's host names driver-side.
     - ``boosts_df`` — a relational (host_hash:long, boost:int) frame
-      (e.g. linkgraph.pagerank_boosts_df, or any stored table) that never
-      touches the driver; the 10^8+-host path. Takes precedence over the
-      tuple when both are set. tests/test_host_boosts.py asserts the two
-      sources are crawl-order digest-equal for the same tiers."""
+      (e.g. linkgraph.pagerank_boosts_df, linkgraph.trust_boosts_df —
+      the anti-spam composition that clamps high-spam-mass hosts behind
+      every organic tier — or any stored table) that never touches the
+      driver; the 10^8+-host path. Takes precedence over the tuple when
+      both are set. tests/test_host_boosts.py asserts the two sources
+      are crawl-order digest-equal for the same tiers and that the trust
+      clamp actually demotes a planted link farm in crawl order."""
     if boosts_df is None and not cfg.host_boosts:
         return selected
     if boosts_df is None:

@@ -344,3 +344,32 @@ def test_pq_encode_rerank_recall_and_determinism(spark):
     a = sorted(map(tuple, simsearch.pq_topk(emb, k=10).collect()))
     b = sorted(map(tuple, simsearch.pq_topk(emb.repartition(7), k=10).collect()))
     assert a == b
+
+
+def test_argmin_stages_compile_to_window_group_limit(spark, emb):
+    """VERDICT r6 directive #7 (the ip_cap / group_sample discipline
+    extended to the ANN/PQ assignment stages): the row_number()==1 argmin
+    in ivf_assign and pq_encode must compile to WindowGroupLimit — Spark's
+    per-partition pre-trim BELOW the exchange, so each input partition
+    forwards at most one row per (vec_id[, sub_id]) group instead of the
+    full N x k scored explosion crossing the shuffle. PLANS.md round-7
+    notes the BLAS-kernel swap point for real-scale assignment."""
+    from crawlspark import simsearch
+
+    cb = simsearch.default_codebook(emb, n_centroids=8)
+    plan_assign = (
+        simsearch.ivf_assign(emb, cb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan_assign
+
+    cbs = simsearch.pq_subcodebooks(emb)
+    plan_pq = (
+        simsearch.pq_encode(emb, cbs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan_pq

@@ -634,6 +634,37 @@ def _q_ngram_jaccard(spark, sf_dir):
     return textops.ngram_jaccard_adjacent(_tpch(spark, sf_dir, "documents"))
 
 
+def _q_curation_keep_list(spark, sf_dir):
+    """The curation pipeline's VERDICT table (textops.curation_keep_list):
+    one row per training doc with keep + the first failing stage —
+    exact_dup → near_dup → contaminated → low_quality → kept — composing
+    exact_dedup, LSH-verified clustering (pointer-jumping CC),
+    decontamination against the doc_id%89 bench slice, and the quality
+    heuristic. The synthetic corpus has no exact duplicates and nothing
+    below the quality floor, so those two stages are PLANTED (the
+    convention): every 97th train doc gains an exact copy at +10^6 and
+    every 101st a two-char junk row at +2*10^6 — both engines derive the
+    identical rows, so all five reasons are non-vacuous at sf0.01. The
+    oracle replays all four stages (incl. the recursive-CTE cluster
+    closure) and the CASE verbatim."""
+    from crawlspark import textops
+
+    docs = _tpch(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    base = docs.filter(F.col("doc_id") % 89 != 0).select("doc_id", "text")
+    train = base.unionByName(
+        base.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        base.filter(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.lit("zz").alias("text"),
+        )
+    )
+    return textops.curation_keep_list(train, bench, min_quality=0.3)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: a deterministic slice of the corpus
     (doc_id % 89 == 0) stands in for the evaluation set; every other doc
@@ -1795,6 +1826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_budget_window": _q_byte_budget_window,
         "json_roundtrip": _q_json_roundtrip,
         # ---- position 51+: r06-attested (rotate back r8) ----
+        # curation_keep_list is NEW this round but sits at 51 so the full
+        # 44-entry r05-only backfill (VERDICT r6 directive #1) keeps the
+        # window; it is value-checked by the in-suite DuckDB mirror now
+        # and rotates into the driver window in r8
+        "curation_keep_list": _q_curation_keep_list,
         "postings_stats": _q_postings_stats,
         "bm25_topk": _q_bm25_topk,
         "conditional_revalidate": _q_conditional_revalidate,
@@ -3834,6 +3870,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS doc_id, MIN(lbl) AS cluster_id,
                node = MIN(lbl) AS is_rep
         FROM reach GROUP BY node
+        """
+    # curation keep-list = the four stage oracles composed verbatim over
+    # the train slice (tr), first-failing-stage CASE identical to the
+    # Spark side; near-dup closure reuses the doc_dedup_clusters
+    # recursive pattern over the train-restricted lsh_verified SQL
+    _lv_tr = out["lsh_verified"].replace("documents", "tr")
+    _q_tr = out["quality_score"].replace("FROM documents", "FROM tr")
+    out["curation_keep_list"] = f"""
+        WITH RECURSIVE
+        tr AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 89 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents
+          WHERE doc_id % 89 <> 0 AND doc_id % 97 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, 'zz' FROM documents
+          WHERE doc_id % 89 <> 0 AND doc_id % 101 = 0
+        ),
+        p AS (
+          {_lv_tr}
+        ),
+        sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+        reach(node, lbl) AS (
+          SELECT a, a FROM sym
+          UNION
+          SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.node
+        ),
+        nd AS (SELECT node AS doc_id, MIN(lbl) AS comp
+               FROM reach GROUP BY node),
+        ex AS (SELECT doc_id,
+                      MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+               FROM tr),
+        ct AS (
+          {out["decontaminate"]}
+        ),
+        qx AS (
+          {_q_tr}
+        ),
+        dec AS (
+          SELECT q.doc_id,
+                 CASE WHEN ex.rep <> q.doc_id THEN 'exact_dup'
+                      WHEN nd.comp IS NOT NULL AND nd.comp <> q.doc_id
+                        THEN 'near_dup'
+                      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                      WHEN q.quality < CAST(0.3 AS DOUBLE)
+                        THEN 'low_quality'
+                      ELSE 'kept' END AS reason,
+                 q.quality
+          FROM qx q
+          JOIN ex ON ex.doc_id = q.doc_id
+          LEFT JOIN nd ON nd.doc_id = q.doc_id
+          LEFT JOIN ct ON ct.doc_id = q.doc_id
+        )
+        SELECT doc_id, reason = 'kept' AS keep, reason, quality FROM dec
         """
     # redirect resolution = bounded recursive walk over the same
     # documents-derived functional redirect graph as _q_redirect_resolve

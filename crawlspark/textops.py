@@ -1633,6 +1633,79 @@ def bigram_logprob(
     )
 
 
+def curation_keep_list(
+    docs: DataFrame,
+    bench: DataFrame,
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The END of the curation pipeline: one row per training doc with the
+    keep/drop DECISION and the first failing stage as the reason — the
+    artifact a training run actually consumes (every upstream operator in
+    this module produces evidence; this composes it into the verdict).
+
+    Stage order mirrors the physical pipeline (cheapest, highest-volume
+    cut first; each later stage only matters for survivors):
+      1. exact_dup      — not the min-doc_id representative of its md5
+                          text group (``exact_dedup``);
+      2. near_dup       — an LSH-verified near-duplicate cluster member
+                          that is not the cluster's min-doc_id rep
+                          (``lsh_verified_pairs`` → pointer-jumping
+                          connected components; pairs exist among exact
+                          reps only, so stages 1/2 never contradict);
+      3. contaminated   — shares a 3-gram shingle with the benchmark set
+                          (``decontaminate``);
+      4. low_quality    — heuristic ``quality_score`` below
+                          ``min_quality``;
+      else 'kept'.
+
+    Returns (doc_id, keep boolean, reason, quality). Scale shape: a pure
+    composition of the constituent operators' proven shapes plus
+    doc_id-keyed LEFT joins of per-stage flag sets onto the quality table
+    (each flag set ≪ corpus: dup tails, verified-cluster members,
+    contaminated docs); no new shuffle class, nothing corpus-derived
+    broadcast (decontaminate's bench side is the only broadcast and is
+    benchmark-sized). The DuckDB oracle replays all four stages and the
+    CASE verbatim."""
+    from crawlspark import graphops
+
+    with_hash = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    ex = with_hash.join(
+        exact_dedup(docs).select("text_hash", "rep_doc_id"), "text_hash"
+    ).select("doc_id", (F.col("doc_id") != F.col("rep_doc_id")).alias("_e"))
+    pairs = lsh_verified_pairs(docs, threshold=jaccard_threshold).select(
+        "doc_a", "doc_b"
+    )
+    cc = graphops.connected_components(pairs, src="doc_a", dst="doc_b")
+    nd = cc.select(
+        F.col("node").alias("doc_id"),
+        (F.col("node") != F.col("component")).alias("_n"),
+    )
+    ct = decontaminate(docs, bench).select(
+        "doc_id", F.lit(True).alias("_c")
+    )
+    q = quality_score(docs).select("doc_id", "quality")
+    reason = (
+        F.when(F.coalesce(F.col("_e"), F.lit(False)), F.lit("exact_dup"))
+        .when(F.coalesce(F.col("_n"), F.lit(False)), F.lit("near_dup"))
+        .when(F.coalesce(F.col("_c"), F.lit(False)), F.lit("contaminated"))
+        .when(F.col("quality") < F.lit(float(min_quality)), F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        q.join(ex, "doc_id", "left")
+        .join(nd, "doc_id", "left")
+        .join(ct, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"), "quality")
+        .select(
+            "doc_id",
+            (F.col("reason") == "kept").alias("keep"),
+            "reason",
+            "quality",
+        )
+    )
+
+
 def ppl_buckets(
     docs: DataFrame,
     n_tiles: int = 3,

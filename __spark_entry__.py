@@ -665,6 +665,38 @@ def _q_curation_keep_list(spark, sf_dir):
     return textops.curation_keep_list(train, bench, min_quality=0.3)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Maximal duplicated-substring spans (textops.dup_spans): the Lee et
+    al. ExactSubstr CUT LIST — per-doc maximal token intervals covered by
+    corpus-duplicated 5-gram windows, merged gaps-and-islands style. The
+    synthetic corpus has multi-window spans (merge logic live) but every
+    duplicated doc carries exactly ONE island, so the island BREAK is
+    planted (the convention): every 131st doc with ≥ 24 words gains a
+    derived doc at +3*10^6 made of its words 1-10, three globally-unique
+    filler tokens, then its words 15-24 — both the planted doc AND its
+    source provably produce two disjoint spans in both engines."""
+    from crawlspark import textops
+
+    docs = _tpch(spark, sf_dir, "documents").select("doc_id", "text")
+    uid = F.concat(F.lit("q"), F.col("doc_id").cast("string"))
+    planted = (
+        docs.select("doc_id", "text", textops.words_col().alias("ws"))
+        .where((F.col("doc_id") % 131 == 0) & (F.size("ws") >= 24))
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat_ws(" ", F.slice("ws", 1, 10)),
+                F.concat(uid, F.lit("x")),
+                F.concat(uid, F.lit("y")),
+                F.concat(uid, F.lit("z")),
+                F.concat_ws(" ", F.slice("ws", 15, 10)),
+            ).alias("text"),
+        )
+    )
+    return textops.dup_spans(docs.unionByName(planted), n=5)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: a deterministic slice of the corpus
     (doc_id % 89 == 0) stands in for the evaluation set; every other doc
@@ -1831,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window; it is value-checked by the in-suite DuckDB mirror now
         # and rotates into the driver window in r8
         "curation_keep_list": _q_curation_keep_list,
+        "dup_spans": _q_dup_spans,
         "postings_stats": _q_postings_stats,
         "bm25_topk": _q_bm25_topk,
         "conditional_revalidate": _q_conditional_revalidate,
@@ -3964,5 +3997,47 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY src ORDER BY done DESC, hops DESC) AS rn
               FROM walk) t
         WHERE rn = 1
+        """
+    # dup_spans = planted corpus (words 1-10 + unique filler + words
+    # 15-24 of every 131st doc) → duplicated-5-gram instances with
+    # positions → gaps-and-islands merge; groups by the RAW gram where
+    # the Spark side keys on xxhash64 (dup_ngram_coverage convention)
+    out["dup_spans"] = f"""
+        WITH w0 AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        pl AS (SELECT doc_id + 3000000 AS doc_id,
+                      array_to_string(ws[1:10], ' ')
+                      || ' q' || CAST(doc_id AS VARCHAR) || 'x'
+                      || ' q' || CAST(doc_id AS VARCHAR) || 'y'
+                      || ' q' || CAST(doc_id AS VARCHAR) || 'z '
+                      || array_to_string(ws[15:24], ' ') AS text
+               FROM w0 WHERE doc_id % 131 = 0 AND len(ws) >= 24),
+        corpus AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id, text FROM pl),
+        w AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS ws
+              FROM corpus),
+        s AS (SELECT doc_id, {_sh_sql(5)} AS sh FROM w),
+        e AS (SELECT doc_id, unnest(sh) AS g,
+                     unnest(range(len(sh))) AS pos
+              FROM s),
+        t AS (SELECT g, COUNT(*) AS tot FROM e GROUP BY g),
+        d AS (SELECT doc_id, pos FROM e JOIN t USING (g) WHERE tot >= 2),
+        m AS (SELECT doc_id, pos,
+                MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_end
+              FROM d),
+        i AS (SELECT doc_id, pos,
+                SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM m)
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM i GROUP BY doc_id, island
         """
     return out

@@ -544,6 +544,73 @@ def dup_ngram_coverage(docs: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def dup_spans(docs: DataFrame, n: int = 5, tokenizer="ws") -> DataFrame:
+    """Maximal duplicated-substring spans — the CUT LIST of Lee et al.'s
+    ExactSubstr dedup (ACL 2022) in its scalable word-n-gram form.
+    `dup_ngram_coverage` answers "how duplicated is this doc";
+    this answers "which token ranges do I remove": for every doc, the
+    maximal token intervals covered by n-gram windows whose exact n-gram
+    occurs ≥ 2 times corpus-wide (multiplicity counts, so a doc repeating
+    its own n-gram is cut too). Overlapping/touching duplicated windows
+    merge into one span; a unique gap splits spans (gaps-and-islands).
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_windows) with
+    0-based token offsets, end exclusive — the slice a trainer drops
+    before packing. Docs with no duplicated window are absent.
+
+    Scale shape (3 keyed shuffles + 1 doc-keyed window, all linear):
+      1. posexplode n-gram windows → groupBy(h) instance totals
+         (map-side combinable);
+      2. left_semi join the (tiny relative to instances) tot≥2 key set
+         back on h — shuffle_hash-hinted for the same stats-blindness
+         reason as dup_ngram_coverage (corpus-derived right side must
+         never be broadcast);
+      3. the island scan: ONE window partitioned by doc_id ordered by
+         pos — running max(end) then running sum of break flags, both in
+         the same window frame family so Catalyst plans a single sort per
+         doc partition. Per-doc cardinality is bounded by doc length, so
+         the window never sees more than one doc's windows — no skew
+         beyond the longest document.
+    The gram key is internal (positions, not grams, leave the operator)
+    → native xxhash64, same collision arithmetic as dup_ngram_coverage;
+    the DuckDB twin groups by the raw gram string."""
+    from pyspark.sql import Window
+
+    t1 = docs.select("doc_id", tokens_col(tokenizer=tokenizer).alias("ws"))
+    inst = t1.select(
+        "doc_id", F.posexplode(shingles_col(F.col("ws"), n=n)).alias("pos", "g")
+    ).select("doc_id", "pos", F.xxhash64("g").alias("h"))
+    dup_keys = (
+        inst.groupBy("h").agg(F.count("*").alias("tot"))
+        .where(F.col("tot") >= 2)
+        .select("h")
+    )
+    d = inst.join(dup_keys.hint("shuffle_hash"), "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = d.withColumn(
+        "brk",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n).cast("bigint").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_windows",
+        )
+    )
+
+
 def hash_sample(docs: DataFrame, cutoffs: dict[str, int], default: int = 0,
                 salt: str = "smp") -> DataFrame:
     """Deterministic per-source stratified sampling — the mix-weighting

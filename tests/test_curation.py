@@ -932,3 +932,64 @@ def test_tokenizer_seam_threads_through_budget_ops(spark, docs):
     assert mw_ws != mw_rx
     with __import__("pytest").raises(ValueError):
         textops.tokens_col(tokenizer="nope")
+
+
+def test_dup_spans_planted_islands_and_merge(spark):
+    """dup_spans (Lee et al. ExactSubstr cut list) on a planted corpus
+    exercising every regime: overlapping-window MERGE (d0/d1 share a
+    6-word block → windows at starts 0..3 fold into ONE span), the
+    island BREAK (d2/d3 share two blocks separated by unique filler →
+    TWO spans each), in-doc self-repeat (d4), a unique doc (absent), and
+    a too-short doc (absent)."""
+    rows = [
+        ("d0", "a b c d e f zz1 zz2"),          # block abcdef at 0..5
+        ("d1", "yy1 a b c d e f"),               # same block at 1..6
+        ("d2", "g h i u1 u2 u3 j k l m n"),      # blocks ghi + jklmn
+        ("d3", "g h i v1 v2 v3 j k l m n"),
+        ("d4", "p q p q p q p q"),               # self-repeating 3-grams
+        ("d5", "s t u w x"),                     # unique
+        ("d6", "s t"),                           # shorter than n
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = textops.dup_spans(df, n=3)
+    spans = {
+        (r.doc_id, r.span_start): r for r in out.collect()
+    }
+    by_doc = {}
+    for (d, _s), r in spans.items():
+        by_doc.setdefault(d, []).append(r)
+    # d0: one merged span over tokens [0, 6) from 4 duplicated windows
+    (s0,) = by_doc["d0"]
+    assert (s0.span_start, s0.span_end, s0.span_tokens, s0.n_windows) == (
+        0, 6, 6, 4,
+    )
+    (s1,) = by_doc["d1"]
+    assert (s1.span_start, s1.span_end) == (1, 7)
+    # d2/d3: two islands each — [0,3) and the jklmn block
+    for d, second_start in (("d2", 6), ("d3", 6)):
+        got = sorted(by_doc[d], key=lambda r: r.span_start)
+        assert [(r.span_start, r.span_end) for r in got] == [
+            (0, 3), (second_start, 11),
+        ]
+    # d4: every 3-gram repeats in-doc → one full-cover span
+    (s4,) = by_doc["d4"]
+    assert (s4.span_start, s4.span_end, s4.n_windows) == (0, 8, 6)
+    assert "d5" not in by_doc and "d6" not in by_doc
+
+
+def test_dup_spans_no_corpus_broadcast_and_single_sort(spark, docs):
+    """Scale shape: the duplicated-key set is corpus-derived → must
+    arrive over a SHUFFLE semi-join (never broadcast, the VERDICT r4
+    OOM class); the island scan's two window functions (running max +
+    running sum) must share ONE sort per doc partition."""
+    df = textops.dup_spans(docs, n=5)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+    # one Sort for the doc-keyed window pair: Sort nodes = the window's
+    # (doc_id, pos) sort + the final aggregate needs none → exactly 1.
+    # Count in the AQE FINAL plan only (toString repeats the initial
+    # plan below it, which would double-count).
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Sort [doc_id") == 1

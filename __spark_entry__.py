@@ -665,16 +665,15 @@ def _q_curation_keep_list(spark, sf_dir):
     return textops.curation_keep_list(train, bench, min_quality=0.3)
 
 
-def _q_dup_spans(spark, sf_dir):
-    """Maximal duplicated-substring spans (textops.dup_spans): the Lee et
-    al. ExactSubstr CUT LIST — per-doc maximal token intervals covered by
-    corpus-duplicated 5-gram windows, merged gaps-and-islands style. The
-    synthetic corpus has multi-window spans (merge logic live) but every
-    duplicated doc carries exactly ONE island, so the island BREAK is
-    planted (the convention): every 131st doc with ≥ 24 words gains a
-    derived doc at +3*10^6 made of its words 1-10, three globally-unique
-    filler tokens, then its words 15-24 — both the planted doc AND its
-    source provably produce two disjoint spans in both engines."""
+def _dup_span_corpus(spark, sf_dir):
+    """Shared planted corpus for the ExactSubstr pair (dup_spans /
+    exactsubstr_cut). The synthetic corpus has multi-window spans (merge
+    logic live) but every duplicated doc carries exactly ONE island, so
+    the island BREAK is planted (the convention): every 131st doc with
+    ≥ 24 words gains a derived doc at +3*10^6 made of its words 1-10,
+    three globally-unique filler tokens, then its words 15-24 — both the
+    planted doc AND its source provably produce two disjoint spans in
+    both engines."""
     from crawlspark import textops
 
     docs = _tpch(spark, sf_dir, "documents").select("doc_id", "text")
@@ -694,7 +693,29 @@ def _q_dup_spans(spark, sf_dir):
             ).alias("text"),
         )
     )
-    return textops.dup_spans(docs.unionByName(planted), n=5)
+    return docs.unionByName(planted)
+
+
+def _q_dup_spans(spark, sf_dir):
+    """Maximal duplicated-substring spans (textops.dup_spans): the Lee et
+    al. ExactSubstr CUT LIST — per-doc maximal token intervals covered by
+    corpus-duplicated 5-gram windows, merged gaps-and-islands style, over
+    the island-break-planted corpus (_dup_span_corpus)."""
+    from crawlspark import textops
+
+    return textops.dup_spans(_dup_span_corpus(spark, sf_dir), n=5)
+
+
+def _q_exactsubstr_cut(spark, sf_dir):
+    """The ExactSubstr TRANSFORMATION (textops.exactsubstr_cut): apply
+    the dup_spans cut list — every token inside a duplicated span is
+    removed and survivors re-joined, one row per input doc including
+    untouched pass-throughs (n_tokens_cut = 0). Same planted corpus as
+    dup_spans, so merged-span cuts, island-gap survivors, and whole-doc
+    pass-throughs are all non-vacuous at sf0.01."""
+    from crawlspark import textops
+
+    return textops.exactsubstr_cut(_dup_span_corpus(spark, sf_dir), n=5)
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -1864,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and rotates into the driver window in r8
         "curation_keep_list": _q_curation_keep_list,
         "dup_spans": _q_dup_spans,
+        "exactsubstr_cut": _q_exactsubstr_cut,
         "postings_stats": _q_postings_stats,
         "bm25_topk": _q_bm25_topk,
         "conditional_revalidate": _q_conditional_revalidate,
@@ -4039,5 +4061,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens,
                CAST(COUNT(*) AS BIGINT) AS n_windows
         FROM i GROUP BY doc_id, island
+        """
+    # exactsubstr_cut = the dup_spans CTE chain folded to per-doc spans,
+    # then a token-level LEFT JOIN (spans are disjoint by construction,
+    # so no token duplicates) and an ordered re-join of the survivors;
+    # where Spark cuts with a higher-order array filter, the twin does
+    # the same thing relationally
+    dup_span_ctes = out["dup_spans"].rsplit("SELECT doc_id,", 1)[0].rstrip()
+    out["exactsubstr_cut"] = dup_span_ctes + """,
+        spans AS (SELECT doc_id, MIN(pos) AS ss, MAX(pos) + 5 AS se
+                  FROM i GROUP BY doc_id, island),
+        tok AS (SELECT doc_id, unnest(ws) AS tk,
+                       unnest(range(len(ws))) AS pos
+                FROM w),
+        keepj AS (SELECT t.doc_id, t.tk, t.pos, s.ss
+                  FROM tok t LEFT JOIN spans s
+                    ON t.doc_id = s.doc_id
+                   AND t.pos >= s.ss AND t.pos < s.se),
+        agg AS (SELECT doc_id,
+                       COALESCE(string_agg(tk, ' ' ORDER BY pos)
+                                FILTER (WHERE ss IS NULL), '') AS text_cut,
+                       COUNT(*) FILTER (WHERE ss IS NULL) AS kept,
+                       COUNT(*) FILTER (WHERE ss IS NOT NULL) AS cut
+                FROM keepj GROUP BY doc_id)
+        SELECT c.doc_id,
+               COALESCE(a.text_cut, '') AS text_cut,
+               CAST(COALESCE(a.kept, 0) AS BIGINT) AS n_tokens_kept,
+               CAST(COALESCE(a.cut, 0) AS BIGINT) AS n_tokens_cut
+        FROM corpus c LEFT JOIN agg a USING (doc_id)
         """
     return out

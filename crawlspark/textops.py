@@ -611,6 +611,47 @@ def dup_spans(docs: DataFrame, n: int = 5, tokenizer="ws") -> DataFrame:
     )
 
 
+def exactsubstr_cut(docs: DataFrame, n: int = 5, tokenizer="ws") -> DataFrame:
+    """Apply the `dup_spans` cut list — the actual ExactSubstr
+    TRANSFORMATION of Lee et al. (ACL 2022): every token inside a
+    duplicated span is removed and the survivors are re-joined, giving
+    the deduplicated text a trainer packs. One row per input doc:
+    (doc_id, text_cut, n_tokens_kept, n_tokens_cut); docs without
+    duplicated spans pass through whole (n_tokens_cut = 0), fully-
+    duplicated docs come back empty.
+
+    Scale shape on top of dup_spans' (3 keyed shuffles + doc window):
+    one doc-keyed groupBy folds a doc's spans into an array (bounded by
+    tokens/n per doc), then ONE doc-keyed join back to the corpus —
+    shuffle_hash-hinted because the span side is corpus-derived (the
+    broadcast-OOM class again). The cut itself is per-row codegen: a
+    two-arg higher-order filter probing the span array (spans per doc
+    are few, and the probe is branch-local — no explode, no second
+    shuffle)."""
+    spans = dup_spans(docs, n=n, tokenizer=tokenizer)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    t1 = docs.select("doc_id", tokens_col(tokenizer=tokenizer).alias("ws"))
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    j = t1.join(per_doc.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id", "ws", F.coalesce("spans", empty).alias("spans")
+    )
+    kept = F.filter(
+        F.col("ws"),
+        lambda w, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("text_cut"),
+        F.size(kept).cast("bigint").alias("n_tokens_kept"),
+        (F.size("ws") - F.size(kept)).cast("bigint").alias("n_tokens_cut"),
+    )
+
+
 def hash_sample(docs: DataFrame, cutoffs: dict[str, int], default: int = 0,
                 salt: str = "smp") -> DataFrame:
     """Deterministic per-source stratified sampling — the mix-weighting

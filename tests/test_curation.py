@@ -993,3 +993,43 @@ def test_dup_spans_no_corpus_broadcast_and_single_sort(spark, docs):
     # plan below it, which would double-count).
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Sort [doc_id") == 1
+
+
+def test_exactsubstr_cut_applies_cut_list(spark):
+    """exactsubstr_cut = dup_spans applied: duplicated spans removed,
+    survivors re-joined. Same planted corpus as the dup_spans unit test
+    so every regime is exercised: merged-span cut (d0/d1 keep only their
+    unique tails), island break (d2/d3 keep the unique filler BETWEEN
+    two cut spans), fully-duplicated doc comes back EMPTY (d4), unique
+    and too-short docs pass through whole with n_tokens_cut = 0."""
+    rows = [
+        ("d0", "a b c d e f zz1 zz2"),
+        ("d1", "yy1 a b c d e f"),
+        ("d2", "g h i u1 u2 u3 j k l m n"),
+        ("d3", "g h i v1 v2 v3 j k l m n"),
+        ("d4", "p q p q p q p q"),
+        ("d5", "s t u w x"),
+        ("d6", "s t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in textops.exactsubstr_cut(df, n=3).collect()}
+    assert len(out) == 7  # one row per input doc, pass-throughs included
+    expect = {
+        "d0": ("zz1 zz2", 2, 6),
+        "d1": ("yy1", 1, 6),
+        "d2": ("u1 u2 u3", 3, 8),
+        "d3": ("v1 v2 v3", 3, 8),
+        "d4": ("", 0, 8),
+        "d5": ("s t u w x", 5, 0),
+        "d6": ("s t", 2, 0),
+    }
+    for d, (txt, kept, cut) in expect.items():
+        r = out[d]
+        assert (r.text_cut, r.n_tokens_kept, r.n_tokens_cut) == (
+            txt, kept, cut,
+        ), d
+    # conservation: kept + cut = original token count, every doc
+    for d, r in out.items():
+        assert r.n_tokens_kept + r.n_tokens_cut == len(
+            dict(rows)[d].split()
+        ), d

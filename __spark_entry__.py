@@ -628,6 +628,47 @@ def _q_simhash(spark, sf_dir):
     return textops.simhash(_tpch(spark, sf_dir, "documents"))
 
 
+def _simhash_pair_corpus(spark, sf_dir):
+    """Planted corpus for the SimHash Hamming-band pair family: the
+    synthetic docs are i.i.d. draws from one vocabulary, so true
+    near-dups (Hamming ≤ 3 on distinct texts) are not guaranteed to
+    occur naturally — every 113th-offset-7 doc gains a derivative at
+    +10^6 with ONE word appended (' the'), which flips only the
+    fingerprint bits whose vote margin the single word decides
+    (measured Hamming 1–3 at sf0.01). Both engines derive the
+    identical rows."""
+    docs = _tpch(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 113 == 7).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the")).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs by Hamming-distance banding
+    (textops.simhash_pairs — Manku et al., WWW 2007): 60-bit fingerprint
+    split into 4 × 15-bit blocks, block-equality buckets (capped, with
+    the simhash_band_stats audit) surface every pair within Hamming ≤ 3
+    by pigeonhole, then the rowwise bit_count(xor) verify keeps the true
+    ones. Planted one-word-append derivatives make the pair set
+    non-vacuous at sf0.01; the oracle replays fingerprints, banding,
+    cap, self-join, and the Hamming filter verbatim."""
+    from crawlspark import textops
+
+    return textops.simhash_pairs(_simhash_pair_corpus(spark, sf_dir))
+
+
+def _q_simhash_band_stats(spark, sf_dir):
+    """Bucket-population audit for simhash_pairs (textops.
+    simhash_band_stats): total (band_idx, band_val) buckets, buckets
+    excluded by the cap, and the largest bucket — the no-silent-
+    truncation contract on the same planted corpus."""
+    from crawlspark import textops
+
+    return textops.simhash_band_stats(_simhash_pair_corpus(spark, sf_dir))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     from crawlspark import textops
 
@@ -1249,6 +1290,20 @@ def _q_host_trustrank(spark, sf_dir):
     )
     seeds = nodes.filter(F.substring(F.md5("host"), 1, 1) < F.lit("4"))
     return linkgraph.host_trustrank(edges, seeds, n_iter=4)
+
+
+def _q_host_opic(spark, sf_dir):
+    """OPIC over the host graph (linkgraph.host_opic — Abiteboul et al.,
+    WWW 2003): the crawler-native online importance estimator — cash
+    banks into history and redistributes along weighted out-edges each
+    step, dangling cash recycles uniformly through the paper's virtual
+    node, importance = (history + cash) / (n_iter + 1). Fixed 4
+    iterations; the oracle unrolls the identical steps as a CTE chain
+    (the host_pagerank convention)."""
+    from crawlspark import linkgraph
+
+    edges = linkgraph.host_edges(_docs_with_urls(spark, sf_dir))
+    return linkgraph.host_opic(edges, n_iter=4)
 
 
 def _q_spam_mass(spark, sf_dir):
@@ -1936,6 +1991,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": _q_lsh_pairs,
         "lsh_verified": _q_lsh_verified,
         "lsh_band_stats": _q_lsh_band_stats,
+        # R7-11 SimHash Hamming-band dedup pairs (Manku et al., WWW'07);
+        # registered past the 50-entry window — value-checked by the
+        # in-suite DuckDB mirror now, driver window in r8
+        "simhash_pairs": _q_simhash_pairs,
+        "simhash_band_stats": _q_simhash_band_stats,
+        # R7-12 OPIC — the crawler-native online importance estimator
+        # (Abiteboul et al., WWW'03); same window note as above
+        "host_opic": _q_host_opic,
     }
 
 
@@ -3464,6 +3527,41 @@ def _trustrank_sql(
     return s + f"\n        SELECT host, round(t, 6) AS trust FROM t{n_iter}"
 
 
+def _opic_sql(dsp: str, dur: str, n_iter: int = 4) -> str:
+    """Unrolled synchronous OPIC steps — the SAME fixed iterations the
+    Spark operator runs (cash banks into history, redistributes along
+    weighted shares, dangling cash recycles uniformly via the virtual
+    node), as a CTE chain."""
+    s = _linkgraph_prefix(dsp, dur) + """,
+        nodes AS (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL SELECT dst_host AS host FROM edges)),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src_host, SUM(n_links) AS w_out FROM edges GROUP BY src_host),
+        share AS (SELECT e.src_host, e.dst_host,
+                         CAST(e.n_links AS DOUBLE) / o.w_out AS share
+                  FROM edges e JOIN outw o USING (src_host)),
+        s0 AS (SELECT host, 1.0 / nn.n AS cash, 0.0 AS history
+               FROM nodes CROSS JOIN nn)"""
+    for k in range(1, n_iter + 1):
+        s += f""",
+        c{k} AS (SELECT sh.dst_host, SUM(s.cash * sh.share) AS c_in
+                 FROM share sh JOIN s{k - 1} s ON sh.src_host = s.host
+                 GROUP BY sh.dst_host),
+        d{k} AS (SELECT COALESCE(SUM(s.cash), 0.0) AS d_cash
+                 FROM s{k - 1} s LEFT JOIN outw o ON s.host = o.src_host
+                 WHERE o.src_host IS NULL),
+        s{k} AS (SELECT s.host,
+                        COALESCE(c{k}.c_in, 0.0) + d{k}.d_cash / nn.n AS cash,
+                        s.history + s.cash AS history
+                 FROM s{k - 1} s CROSS JOIN nn CROSS JOIN d{k}
+                 LEFT JOIN c{k} ON s.host = c{k}.dst_host)"""
+    return s + f"""
+        SELECT host, round(cash, 6) AS cash, round(history, 6) AS history,
+               round((history + cash) / {repr(float(n_iter) + 1.0)}, 6) AS opic
+        FROM s{n_iter}"""
+
+
 def _hits_sql(dsp: str, dur: str, n_iter: int = 4) -> str:
     """Unrolled HITS half-steps — the SAME un-normalized fixed iterations
     the Spark operator runs (hub_0 ≡ 1 folded into a1), with one L∞
@@ -3503,6 +3601,7 @@ def _linkgraph_oracle_sql() -> dict[str, str]:
         + "\n        SELECT src_host, dst_host, n_links FROM edges",
         "host_pagerank": _pagerank_sql(dsp, dur, n_iter=4),
         "host_trustrank": _trustrank_sql(dsp, dur, n_iter=4),
+        "host_opic": _opic_sql(dsp, dur, n_iter=4),
         "spam_mass": "WITH prt AS ("
         + _pagerank_sql(dsp, dur, n_iter=4)
         + "), trt AS ("
@@ -4089,5 +4188,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(a.kept, 0) AS BIGINT) AS n_tokens_kept,
                CAST(COALESCE(a.cut, 0) AS BIGINT) AS n_tokens_cut
         FROM corpus c LEFT JOIN agg a USING (doc_id)
+        """
+    # simhash_pairs / simhash_band_stats = planted one-word-append
+    # derivatives → exact-dup collapse → 60-bit fingerprints (the
+    # _simhash_sql voting chain) → 4 × 15-bit blocks → capped buckets →
+    # self-join → bit_count(xor) Hamming verify (Manku et al., WWW'07)
+    from crawlspark.textops import (
+        LSH_BAND_CAP as _SH_CAP,
+        SIMHASH_BANDS as _SH_BANDS,
+        SIMHASH_BITS as _SH_BITS,
+        SIMHASH_MAX_HAMMING as _SH_K,
+    )
+
+    _sh_rows = _SH_BITS // _SH_BANDS
+    _sh_mask = (1 << _sh_rows) - 1
+    _sh_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(_SH_BITS)
+    )
+    _sh_final = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(_SH_BITS)
+    )
+    _sh_ctes = f"""
+        WITH base AS (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 1000000 AS doc_id,
+                             text || ' the' AS text
+                      FROM documents WHERE doc_id % 113 = 7),
+        reps AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+                 FROM base GROUP BY md5(text)),
+        w AS (SELECT doc_id, {_WORDS} AS ws FROM reps),
+        e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h
+              FROM e),
+        a AS (SELECT doc_id, {_sh_sums} FROM h GROUP BY doc_id),
+        f AS (SELECT doc_id, {_sh_final} AS fp FROM a),
+        bands AS (SELECT doc_id, fp, b.band_idx,
+                         (fp >> (b.band_idx * {_sh_rows})) & {_sh_mask}
+                           AS band_val
+                  FROM f CROSS JOIN (SELECT unnest([{
+                      ", ".join(str(b) for b in range(_SH_BANDS))
+                  }]) AS band_idx) b),
+        sizes AS (SELECT band_idx, band_val, COUNT(*) AS n_docs
+                  FROM bands GROUP BY band_idx, band_val)"""
+    out["simhash_pairs"] = _sh_ctes + f""",
+        ok AS (SELECT bands.doc_id, bands.fp, bands.band_idx, bands.band_val
+               FROM bands JOIN sizes USING (band_idx, band_val)
+               WHERE sizes.n_docs <= {_SH_CAP}),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.fp AS fa, b.fp AS fb
+                  FROM ok a JOIN ok b
+                    ON a.band_idx = b.band_idx
+                   AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        FROM pairs WHERE bit_count(xor(fa, fb)) <= {_SH_K}
+        """
+    out["simhash_band_stats"] = _sh_ctes + f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bands,
+               CAST(SUM(CASE WHEN n_docs > {_SH_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS oversized_bands,
+               CAST(MAX(n_docs) AS BIGINT) AS max_band_size
+        FROM sizes
         """
     return out

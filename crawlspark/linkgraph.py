@@ -482,3 +482,82 @@ def host_hits(edges: DataFrame, n_iter: int = 4) -> DataFrame:
             ).alias("auth"),
         )
     )
+
+
+def host_opic(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """OPIC — Adaptive On-Line Page Importance Computation (Abiteboul,
+    Preda, Cobena, WWW 2003; public literature) over the weighted host
+    graph: (src_host, dst_host, n_links) → (host, cash, history, opic).
+
+    The crawler-native importance estimator: every host starts with cash
+    1/N; each synchronous step banks the host's cash into its history and
+    redistributes it to out-neighbors proportionally to link weight.
+    Hosts with NO out-edges pay their cash into the paper's virtual node,
+    which redistributes it uniformly — so total cash stays exactly 1 and
+    Σhistory after k steps is exactly k. The importance estimate is the
+    paper's (history + cash) / (Σhistory + Σcash) = (history + cash) /
+    (n_iter + 1). Unlike batch PageRank this needs no damping parameter
+    and, run online, keeps improving as the crawl proceeds — here it is
+    the fixed-iteration batch form so the DuckDB oracle can unroll the
+    IDENTICAL steps as a CTE chain (the host_pagerank convention:
+    deterministic, no convergence races across engines).
+
+    Scale shape mirrors host_pagerank: the corpus reduces to the
+    host-pair edge aggregate once (host_edges); each step is one keyed
+    join + one keyed aggregate over edge/host-cardinality frames plus a
+    1-row dangling-cash aggregate (broadcast, metadata class); fixed
+    iteration count → ONE lazy plan, no driver loop state; nothing
+    corpus-scale is broadcast. Output rounded to 6 dp."""
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("w_out"))
+    share = edges.join(out_w, "src_host").select(
+        "src_host",
+        "dst_host",
+        (F.col("n_links").cast("double") / F.col("w_out")).alias("share"),
+    )
+    base = nodes.crossJoin(F.broadcast(n1))  # (host, n_nodes)
+    state = base.select(
+        "host",
+        "n_nodes",
+        (F.lit(1.0) / F.col("n_nodes")).alias("cash"),
+        F.lit(0.0).alias("history"),
+    )
+    linked = out_w.select(F.col("src_host").alias("host"))
+    for _ in range(n_iter):
+        contrib = (
+            share.join(
+                state.select(F.col("host").alias("src_host"), "cash"), "src_host"
+            )
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("cash") * F.col("share")).alias("c_in"))
+        )
+        dangling = state.join(linked, "host", "left_anti").agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("d_cash")
+        )
+        state = (
+            state.join(
+                contrib.withColumnRenamed("dst_host", "host"), "host", "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                "n_nodes",
+                (
+                    F.coalesce(F.col("c_in"), F.lit(0.0))
+                    + F.col("d_cash") / F.col("n_nodes")
+                ).alias("cash"),
+                (F.col("history") + F.col("cash")).alias("history"),
+            )
+        )
+    total = float(n_iter) + 1.0
+    return state.select(
+        "host",
+        F.round("cash", 6).alias("cash"),
+        F.round("history", 6).alias("history"),
+        F.round((F.col("history") + F.col("cash")) / F.lit(total), 6).alias("opic"),
+    )

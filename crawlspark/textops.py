@@ -357,6 +357,128 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return out
 
 
+SIMHASH_BANDS = 4  # 60-bit fp → 4 × 15-bit blocks (pigeonhole: bands > k)
+SIMHASH_MAX_HAMMING = 3  # Manku et al. (WWW'07) use k=3 at 64 bits
+
+
+def _simhash_banded(docs: DataFrame, bits: int, bands: int) -> DataFrame:
+    """(doc_id, simhash, band_idx, band_val) over exact-dup-collapsed
+    docs — the Hamming-LSH analogue of _banded. The fingerprint rides
+    along so the pair join below needs NO join-back (it is one long)."""
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    fp = simhash(_dedup_reps(docs), bits)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * rows)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return fp.select("doc_id", "simhash", F.explode(band_cols).alias("b")).select(
+        "doc_id",
+        "simhash",
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_val").alias("band_val"),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    band_cap: int = LSH_BAND_CAP,
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming-distance banding — "Detecting
+    Near-Duplicates for Web Crawling" (Manku, Jain, Das Sarma, WWW 2007;
+    public literature), the web-crawl counterpart of MinHash-LSH: the
+    60-bit fingerprint splits into `bands` contiguous blocks; any pair
+    within Hamming distance ≤ max_hamming must agree on at least one
+    whole block when bands > max_hamming (pigeonhole), so block-equality
+    buckets surface EVERY such pair with zero false negatives, and the
+    cheap bit_count(xor) verify discards the false positives.
+
+    Same guards as lsh_candidate_pairs: exact-duplicate texts collapse to
+    one representative first (_dedup_reps — a mega-cluster would emit
+    O(N²) pairs inside one bucket), and any (band_idx, band_val) bucket
+    larger than band_cap is excluded from pairing — counted, not silent,
+    by simhash_band_stats (same banding, same cap).
+
+    Scale shape: one explode+groupBy corpus pass for the fingerprints
+    (simhash), then 4 rows/doc through ONE keyed self-join on
+    (band_idx, band_val) — pre-capped so no bucket exceeds band_cap² pair
+    work — then the rowwise Hamming verify. Nothing corpus-derived is
+    broadcast. Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole no-false-negative guarantee"
+        )
+    banded = _simhash_banded(docs, bits, bands)
+    sizes = banded.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # both the bucket-size set and the self-join sides are corpus-derived
+    # (one row per bucket / 4 rows per doc) — shuffle_hash-hinted so
+    # Catalyst's stats-blind estimate never BROADCASTS them (the
+    # executor-OOM class VERDICT r4 flagged; plan shape asserted in-test)
+    ok = banded.join(
+        sizes.filter(F.col("n_docs") <= band_cap)
+        .select("band_idx", "band_val")
+        .hint("shuffle_hash"),
+        ["band_idx", "band_val"],
+        "left_semi",
+    )
+    a = ok.alias("a")
+    b = ok.hint("shuffle_hash").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()  # fp_a/fp_b are functions of doc_a/doc_b — pair-level dedup
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_band_stats(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    band_cap: int = LSH_BAND_CAP,
+) -> DataFrame:
+    """Bucket-population audit for simhash_pairs (the no-silent-truncation
+    contract, mirroring lsh_band_stats): total buckets, buckets excluded
+    by the cap, and the largest bucket seen."""
+    banded = _simhash_banded(docs, bits, bands)
+    sizes = banded.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.sum(F.when(F.col("n_docs") > band_cap, 1).otherwise(0))
+        .cast("long")
+        .alias("oversized_bands"),
+        F.max("n_docs").alias("max_band_size"),
+    )
+
+
 def ngram_jaccard_adjacent(docs: DataFrame) -> DataFrame:
     """Exact 3-gram Jaccard for the (doc_id, doc_id+1) pair family —
     the verification tier behind the LSH candidates."""

@@ -279,3 +279,46 @@ def test_trustrank_planted_spam_clique(spark):
     assert sm["x.example"] == 1.0 and sm["y.example"] == 1.0
     assert sm["seed.example"] < 0.5
     assert all(m <= 1.0 for m in sm.values())
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src_host string, dst_host string, n_links long")
+
+
+def test_opic_hand_computed_tiny_graph(spark):
+    """OPIC on a→b, a→c, b→a with c dangling, 2 synchronous steps —
+    every value hand-derived (fractions in the comments):
+
+    s0: cash 1/3 each. step1: a→{b,c} 1/6 each, b→a 1/3, c's 1/3
+    recycles 1/9 each → cash (4/9, 5/18, 5/18), history 1/3 each.
+    step2: a→{b,c} 2/9 each, b→a 5/18, c's 5/18 recycles 5/54 each →
+    cash (10/27, 17/54, 17/54), history (7/9, 11/18, 11/18);
+    opic = (history + cash) / 3."""
+    edges = _edges(
+        spark, [("a", "b", 1), ("a", "c", 1), ("b", "a", 1)]
+    )
+    out = {r.host: r for r in linkgraph.host_opic(edges, n_iter=2).collect()}
+    assert out["a"].cash == round(10 / 27, 6)
+    assert out["b"].cash == out["c"].cash == round(17 / 54, 6)
+    assert out["a"].history == round(7 / 9, 6)
+    assert out["b"].history == out["c"].history == round(11 / 18, 6)
+    assert out["a"].opic == round((7 / 9 + 10 / 27) / 3, 6)
+    assert out["b"].opic == round((11 / 18 + 17 / 54) / 3, 6)
+
+
+def test_opic_conservation_and_authority_order(spark, small_docs):
+    """Invariants of the virtual-node recycling: Σcash = 1 and
+    Σhistory = n_iter at every depth (cash is conserved, one unit banks
+    per step); a host every other host links to out-ranks a host nobody
+    links to."""
+    edges = linkgraph.host_edges(small_docs)
+    for k in (1, 3, 5):
+        rows = linkgraph.host_opic(edges, n_iter=k).collect()
+        assert abs(sum(r.cash for r in rows) - 1.0) < 1e-9
+        assert abs(sum(r.history for r in rows) - float(k)) < 1e-9
+    hub = _edges(
+        spark,
+        [("s1", "hub", 3), ("s2", "hub", 2), ("s3", "hub", 1), ("hub", "s1", 1)],
+    )
+    out = {r.host: r.opic for r in linkgraph.host_opic(hub, n_iter=4).collect()}
+    assert out["hub"] > out["s2"] and out["hub"] > out["s3"]

@@ -507,7 +507,13 @@ def host_opic(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     join + one keyed aggregate over edge/host-cardinality frames plus a
     1-row dangling-cash aggregate (broadcast, metadata class); fixed
     iteration count → ONE lazy plan, no driver loop state; nothing
-    corpus-scale is broadcast. Output rounded to 6 dp."""
+    corpus-scale is broadcast. Output rounded to 6 dp.
+
+    Scheduler hand-off: ``pagerank_boosts_df(opic.select("host",
+    F.col("opic").alias("pr")))`` quantizes OPIC scores into the same
+    (host_hash, boost) tiers the crawl loop consumes via
+    ``rank.attach_boosts(..., boosts_df=...)`` — the boosts seam is
+    score-agnostic."""
     nodes = (
         edges.select(F.col("src_host").alias("host"))
         .unionByName(edges.select(F.col("dst_host").alias("host")))

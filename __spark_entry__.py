@@ -1118,6 +1118,39 @@ def _q_line_dedup(spark, sf_dir):
     return textops.line_dedup(docs.select("doc_id", t2.alias("text")), min_df=3)
 
 
+def _q_boilerplate_cut(spark, sf_dir):
+    """Per-source template removal (textops.boilerplate_cut — the
+    RefinedWeb/CCNet site-template discipline): planted per-source
+    footers (every even doc → 'footer <source>', ~50% of each source's
+    25 docs) are cut WITHIN their source; a planted cross-source quote
+    (doc_id%7 → 'shared disclaimer', corpus df ≈ 71 ≫ min_df but only
+    ~14% of any one source) SURVIVES — the regime corpus-wide line_dedup
+    gets exactly backwards; unique rare lines (doc_id%50) and original
+    text survive everywhere. min_df=3, min_frac=0.4."""
+    from crawlspark import textops
+
+    docs = _tpch(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("\nfooter "), F.col("source")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("\nshared disclaimer")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.lit("\nrare line "), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return textops.boilerplate_cut(
+        docs.select("doc_id", "source", t2.alias("text")),
+        min_df=3,
+        min_frac=0.4,
+    )
+
+
 def _q_corpus_mix(spark, sf_dir):
     """Training-mix accounting (textops.corpus_mix): per-source doc /
     token / char totals + token share — one map-side-combined groupBy."""
@@ -1999,6 +2032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R7-12 OPIC — the crawler-native online importance estimator
         # (Abiteboul et al., WWW'03); same window note as above
         "host_opic": _q_host_opic,
+        # R7-13 per-source template removal (RefinedWeb/CCNet site-
+        # template discipline); same window note as above
+        "boilerplate_cut": _q_boilerplate_cut,
     }
 
 
@@ -2704,6 +2740,42 @@ def _textops_oracle_sql() -> dict[str, str]:
                     FROM kept GROUP BY doc_id),
             tot AS (SELECT doc_id, len(ls) AS n_lines FROM l)
             SELECT t.doc_id, t.n_lines, COALESCE(r.n_kept, 0) AS n_kept,
+                   md5(COALESCE(r.clean, '')) AS clean_md5
+            FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+            """,
+        "boilerplate_cut": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     text
+                     || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'footer ' || source ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'shared disclaimer' ELSE '' END
+                     || CASE WHEN doc_id % 50 = 0 THEN chr(10) || 'rare line ' || CAST(doc_id AS VARCHAR) ELSE '' END
+                     AS t
+              FROM documents),
+            l AS (SELECT doc_id, source,
+                         list_filter(string_split(t, chr(10)), x -> x <> '') AS ls
+                  FROM d),
+            ex AS (SELECT doc_id, source, u['pos'] AS pos, u['line'] AS line FROM (
+                     SELECT doc_id, source,
+                            unnest([{'pos': i, 'line': ls[i]} for i in generate_series(1, len(ls))]) AS u
+                     FROM l)),
+            hh AS (SELECT doc_id, source, pos, line, md5(line) AS h FROM ex),
+            gt AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
+            freq AS (SELECT source, h, COUNT(DISTINCT doc_id) AS df
+                     FROM hh GROUP BY source, h),
+            common AS (SELECT f.source, f.h
+                       FROM freq f JOIN gt USING (source)
+                       WHERE f.df >= 3 AND f.df >= 0.4 * gt.n_docs),
+            kept AS (SELECT hh.doc_id, hh.pos, hh.line
+                     FROM hh LEFT JOIN common c
+                       ON hh.source = c.source AND hh.h = c.h
+                     WHERE c.h IS NULL),
+            reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                           string_agg(line, chr(10) ORDER BY pos) AS clean
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, source, CAST(len(ls) AS BIGINT) AS n_lines FROM l)
+            SELECT t.doc_id, t.source, t.n_lines,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
                    md5(COALESCE(r.clean, '')) AS clean_md5
             FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
             """,

@@ -1027,6 +1027,85 @@ def line_dedup(
     )
 
 
+def boilerplate_cut(
+    docs: DataFrame,
+    group_col: str = "source",
+    min_df: int = 3,
+    min_frac: float = 0.5,
+    text_col: str = "text",
+    broadcast_common: bool | None = None,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """PER-SOURCE template removal (the RefinedWeb / CCNet site-template
+    discipline, public literature): a line is boilerplate WITHIN its
+    group (site/source) when it appears in ≥ min_df of the group's docs
+    AND in ≥ min_frac of them — nav menus, footers, cookie banners. This
+    is the signal corpus-wide ``line_dedup`` structurally cannot see at
+    web scale: a footer on 100% of one site's pages is boilerplate there
+    while sitting far below any global document-frequency bar, and a
+    quote carried by 1-in-7 docs of EVERY source clears a global min_df
+    while being template on none of them (both regimes planted in the
+    driver query). Returns one row per doc: (doc_id, <group_col>,
+    n_lines, n_kept, clean_md5) — the line_dedup output contract with
+    the group carried through.
+
+    Scale shape (the line_dedup skeleton, keyed by (group, line_hash)):
+    lines explode once; the per-group document-frequency aggregate is
+    map-side-combined over a per-doc distinct; the group-size join is
+    group-cardinality. The boilerplate (group, h) set is corpus-derived,
+    so the removal join broadcasts it only while it MEASURES small
+    (_gated_broadcast) — oversized template sets fall back to the
+    shuffle left_anti instead of OOMing executors. Reassembly is the
+    same in-array array_sort, per-row, no second shuffle. The min_frac
+    bar is evaluated as ``df >= min_frac * n_docs`` in doubles with the
+    IDENTICAL expression shape in the DuckDB twin, so both engines make
+    the same keep/drop call on boundary groups."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    exploded = docs.select(
+        "doc_id", group_col, F.posexplode(lines).alias("pos", "line")
+    ).withColumn("h", F.md5("line"))
+    group_totals = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    df_counts = (
+        exploded.select(group_col, "doc_id", "h")
+        .distinct()
+        .groupBy(group_col, "h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    common = (
+        df_counts.join(group_totals, group_col)
+        .filter(
+            (F.col("df") >= min_df)
+            & (F.col("df") >= F.lit(float(min_frac)) * F.col("n_docs"))
+        )
+        .select(group_col, "h")
+    )
+    kept = exploded.join(
+        _gated_broadcast(common, broadcast_common, broadcast_max_rows),
+        [group_col, "h"],
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean"),
+    )
+    totals = docs.select("doc_id", group_col, F.size(lines).alias("n_lines"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        group_col,
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.md5(F.coalesce(F.col("clean"), F.lit(""))).alias("clean_md5"),
+    )
+
+
 def corpus_mix(docs: DataFrame, tokenizer="ws") -> DataFrame:
     """Training-mix accounting: per-source doc / token / char totals and
     each source's token share of the corpus — the numbers a mix-weighting

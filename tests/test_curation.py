@@ -1033,3 +1033,45 @@ def test_exactsubstr_cut_applies_cut_list(spark):
         assert r.n_tokens_kept + r.n_tokens_cut == len(
             dict(rows)[d].split()
         ), d
+
+
+def test_boilerplate_cut_is_per_source(spark):
+    """The two regimes corpus-wide line_dedup gets backwards:
+    (a) a footer on 3/4 of site A's docs is cut WITHIN A but the same
+    line appearing once on site B survives there; (b) a quote carried by
+    one doc of every site clears a corpus-wide min_df while being
+    template on none — it survives everywhere."""
+    rows = [
+        ("a1", "A", "alpha text one\nsite a footer\nshared quote"),
+        ("a2", "A", "alpha text two\nsite a footer"),
+        ("a3", "A", "alpha text three\nsite a footer"),
+        ("a4", "A", "alpha text four"),
+        ("b1", "B", "beta text one\nsite a footer\nshared quote"),
+        ("b2", "B", "beta text two\nshared quote"),
+        ("b3", "B", "beta text three"),
+        ("c1", "C", "gamma text one\nshared quote"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in textops.boilerplate_cut(df, min_df=3, min_frac=0.5).collect()
+    }
+    assert len(out) == 8 and all(out[d].source == s for d, s, _ in rows)
+    # (a) footer cut in A (3/4 docs >= both bars), survives in B (1/3)
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out["a2"].n_kept == 1
+    assert out["a2"].clean_md5 == md5("alpha text two")
+    assert out["b1"].n_kept == 3  # nothing cut in B: footer df=1, quote 2/3 < min_df
+    assert out["b1"].clean_md5 == md5("beta text one\nsite a footer\nshared quote")
+    # (b) the shared quote: corpus df = 4 >= 3, but per-source max 2/3 → kept
+    assert out["a1"].n_kept == 2
+    assert out["a1"].clean_md5 == md5("alpha text one\nshared quote")
+    assert out["c1"].n_kept == 2
+    # corpus-wide line_dedup on the same corpus WOULD cut the quote
+    ld = {r.doc_id: r for r in textops.line_dedup(df, min_df=3).collect()}
+    assert ld["c1"].n_kept == 1  # quote df=4 >= 3 → cut by the corpus op
+    # conservation: n_kept <= n_lines, untouched doc passes through whole
+    assert all(r.n_kept <= r.n_lines for r in out.values())
+    assert out["a4"].n_kept == out["a4"].n_lines == 1

@@ -322,3 +322,21 @@ def test_opic_conservation_and_authority_order(spark, small_docs):
     )
     out = {r.host: r.opic for r in linkgraph.host_opic(hub, n_iter=4).collect()}
     assert out["hub"] > out["s2"] and out["hub"] > out["s3"]
+
+
+def test_opic_feeds_the_boosts_seam(spark, small_docs):
+    """The scheduler hand-off named in host_opic's docstring: OPIC scores
+    aliased to pr flow through pagerank_boosts_df unchanged — the boosts
+    seam is score-agnostic, so the online estimator can drive crawl
+    order exactly like batch PageRank tiers."""
+    edges = linkgraph.host_edges(small_docs)
+    scores = linkgraph.host_opic(edges, n_iter=4).select(
+        "host", F.col("opic").alias("pr")
+    )
+    boosts = linkgraph.pagerank_boosts_df(scores, n_tiers=4, key="host").collect()
+    assert len(boosts) == scores.count()
+    tiers = sorted({r.boost for r in boosts})
+    assert tiers[0] >= -3 and tiers[-1] <= 0  # tier boosts in [-n_tiers+1, 0]
+    # tuple path agrees (the digest-equality contract of the two forms)
+    tup = dict(linkgraph.pagerank_boosts(scores, n_tiers=4))
+    assert {r.host: r.boost for r in boosts} == tup

@@ -6,7 +6,9 @@ pairwise elsewhere; this is the composition proof: admission quotas over
 quality-filtered candidates from redirect-following retried fetches of
 mirror-deduped content under adaptive politeness, boosts, priority
 aging, closed-loop recrawl re-enqueues, conditional-refetch (304)
-revalidation, and per-IP politeness caps."""
+revalidation, and per-IP politeness caps — with recrawl_state on the
+round-7 merge-on-read DELTA engine (compaction mid-run) so the delta
+chain is proven under the full composition, resume included."""
 
 import shutil
 
@@ -34,6 +36,11 @@ CFG = CrawlConfig(
     conditional_fetch=True,
     ip_politeness_groups=3,
     ip_budget=10,
+    # round-7: run the composition on the DELTA recrawl_state engine
+    # (merge-on-read + compaction under every other feature at once;
+    # engine equivalence is proven pairwise in tests/test_recrawl_delta.py)
+    recrawl_delta=True,
+    compact_recrawl_every=3,
 )
 SPEC = FetchSpec(
     media_exts=True, redirect_mod=7, mirror_mod=4, error_mod=6, change_mod=5

@@ -61,6 +61,10 @@ def test_round5_query_invariance(spark):
         "url_trap_stats_approx",
         "mix_weights",
         "pack_sequences",
+        # round 7
+        "simhash_pairs",
+        "host_opic",
+        "boilerplate_cut",
     )
     q = entry.queries()
 

@@ -1118,6 +1118,18 @@ def _q_line_dedup(spark, sf_dir):
     return textops.line_dedup(docs.select("doc_id", t2.alias("text")), min_df=3)
 
 
+def _q_hashed_tfidf(spark, sf_dir):
+    """Feature-hashing TF-IDF vectors (textops.hashed_tfidf — the
+    hashing trick, Weinberger et al. ICML 2009), sparse (doc_id, bucket,
+    w) at dim=16: md5-derived buckets and signs, smooth idf, per-doc L2
+    normalization — the no-external-embedder bridge from the text corpus
+    to the ANN family. The oracle replays buckets, signs, idf, and the
+    normalization verbatim."""
+    from crawlspark import textops
+
+    return textops.hashed_tfidf(_tpch(spark, sf_dir, "documents"), dim=16)
+
+
 def _q_boilerplate_cut(spark, sf_dir):
     """Per-source template removal (textops.boilerplate_cut — the
     RefinedWeb/CCNet site-template discipline): planted per-source
@@ -2035,6 +2047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R7-13 per-source template removal (RefinedWeb/CCNet site-
         # template discipline); same window note as above
         "boilerplate_cut": _q_boilerplate_cut,
+        # R7-14 feature-hashing TF-IDF (Weinberger et al., ICML'09);
+        # same window note as above
+        "hashed_tfidf": _q_hashed_tfidf,
     }
 
 
@@ -2742,6 +2757,32 @@ def _textops_oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.n_lines, COALESCE(r.n_kept, 0) AS n_kept,
                    md5(COALESCE(r.clean, '')) AS clean_md5
             FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
+            """,
+        "hashed_tfidf": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf
+                   FROM e GROUP BY doc_id, word),
+            dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            wt AS (SELECT tf.doc_id,
+                          CAST(('0x' || substr(md5(tf.word), 1, 8)) AS BIGINT)
+                            % 16 AS bucket,
+                          (CASE WHEN CAST(('0x' || substr(md5(tf.word), 9, 1))
+                                          AS BIGINT) % 2 = 1
+                                THEN 1.0 ELSE -1.0 END)
+                          * tf.tf
+                          * (ln((nn.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                            AS wt
+                   FROM tf JOIN dfreq USING (word) CROSS JOIN nn),
+            pb AS (SELECT doc_id, bucket, SUM(wt) AS w_raw
+                   FROM wt GROUP BY doc_id, bucket),
+            nrm AS (SELECT doc_id, SUM(w_raw * w_raw) AS ssq
+                    FROM pb GROUP BY doc_id)
+            SELECT pb.doc_id, pb.bucket,
+                   round(pb.w_raw / sqrt(nrm.ssq), 6) AS w
+            FROM pb JOIN nrm USING (doc_id)
+            WHERE nrm.ssq > 0
             """,
         "boilerplate_cut": """
             WITH d AS (

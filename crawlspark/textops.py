@@ -1027,6 +1027,67 @@ def line_dedup(
     )
 
 
+def hashed_tfidf(docs: DataFrame, dim: int = 64, text_col: str = "text") -> DataFrame:
+    """Feature-hashing TF-IDF document vectors (the hashing trick —
+    Weinberger et al., ICML 2009; public literature), SPARSE form: one
+    row per (doc_id, bucket) with the signed, L2-normalized weight. This
+    is the seam that lets the ANN / semantic-dedup family run on a TEXT
+    corpus with no external embedder: pivot the sparse rows to an
+    array<double> (collect by bucket per doc — bounded by `dim`) and the
+    vector drops into ann_bruteforce_topk / simsearch unchanged.
+
+    Per word: bucket = md5(word)[0:8] mod dim, sign = md5(word)[8] bit —
+    the standard unbiased signed hash; w(doc, bucket) = Σ sign · tf ·
+    idf over colliding words, idf = ln((N+1)/(df+1)) + 1 (sklearn's
+    smooth form, public), then each doc divides by its L2 norm. md5 is
+    the cross-engine hash convention, so the DuckDB twin reproduces
+    buckets, signs, and weights bit-for-bit (round 6).
+
+    Scale shape: one explode; tf is a map-side-combined (doc_id, word)
+    aggregate; df reuses those rows keyed by word; N is a 1-row
+    broadcast; the bucket aggregate and the L2-norm join are doc-keyed.
+    Nothing corpus-derived is broadcast — df rides the word-keyed join
+    (vocabulary-cardinality, shuffle). Docs whose weights fully cancel
+    (ssq = 0, exact — squares are order-proof) are dropped."""
+    tf = (
+        docs.select("doc_id", F.explode(words_col(text_col)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n1 = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % dim
+    ).alias("bucket")
+    sign = F.when(
+        F.conv(F.substring(F.md5("word"), 9, 1), 16, 10).cast("long") % 2 == 1,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    weighted = (
+        tf.join(dfreq.hint("shuffle_hash"), "word")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id", bucket, (sign * F.col("tf") * idf).alias("wt")
+        )
+    )
+    per_bucket = weighted.groupBy("doc_id", "bucket").agg(
+        F.sum("wt").alias("w_raw")
+    )
+    norms = per_bucket.groupBy("doc_id").agg(
+        F.sum(F.col("w_raw") * F.col("w_raw")).alias("ssq")
+    )
+    return (
+        per_bucket.join(norms, "doc_id")
+        .filter(F.col("ssq") > 0)
+        .select(
+            "doc_id",
+            "bucket",
+            F.round(F.col("w_raw") / F.sqrt("ssq"), 6).alias("w"),
+        )
+    )
+
+
 def boilerplate_cut(
     docs: DataFrame,
     group_col: str = "source",

@@ -1075,3 +1075,33 @@ def test_boilerplate_cut_is_per_source(spark):
     # conservation: n_kept <= n_lines, untouched doc passes through whole
     assert all(r.n_kept <= r.n_lines for r in out.values())
     assert out["a4"].n_kept == out["a4"].n_lines == 1
+
+
+def test_hashed_tfidf_unit_norm_and_ann_bridge(spark):
+    """Hashing-trick TF-IDF: every doc vector is L2-unit (Σw² = 1 within
+    rounding), buckets stay inside [0, dim), identical texts hash to
+    identical vectors (the property that makes the sparse table a valid
+    embedding substitute for the ANN family), and the idf term separates
+    a doc of corpus-common words from one of rare words."""
+    rows = [
+        ("d0", "alpha beta gamma delta"),
+        ("d1", "alpha beta gamma delta"),  # exact twin of d0
+        ("d2", "alpha alpha alpha epsilon"),
+        ("d3", "zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = textops.hashed_tfidf(df, dim=8).collect()
+    by_doc = {}
+    for r in out:
+        assert 0 <= r.bucket < 8
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.w
+    assert set(by_doc) == {"d0", "d1", "d2", "d3"}
+    for d, vec in by_doc.items():
+        assert abs(sum(w * w for w in vec.values()) - 1.0) < 1e-4, d
+    assert by_doc["d0"] == by_doc["d1"]  # same text -> same vector
+    # cosine through the sparse form: twins = 1, disjoint-vocab docs differ
+    def cos(a, b):
+        return sum(a.get(k, 0.0) * b.get(k, 0.0) for k in set(a) | set(b))
+
+    assert abs(cos(by_doc["d0"], by_doc["d1"]) - 1.0) < 1e-4
+    assert cos(by_doc["d0"], by_doc["d3"]) < 0.999  # no shared words

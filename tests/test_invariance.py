@@ -65,6 +65,7 @@ def test_round5_query_invariance(spark):
         "simhash_pairs",
         "host_opic",
         "boilerplate_cut",
+        "hashed_tfidf",
     )
     q = entry.queries()
 

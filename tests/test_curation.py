@@ -1105,3 +1105,42 @@ def test_hashed_tfidf_unit_norm_and_ann_bridge(spark):
 
     assert abs(cos(by_doc["d0"], by_doc["d1"]) - 1.0) < 1e-4
     assert cos(by_doc["d0"], by_doc["d3"]) < 0.999  # no shared words
+
+
+def test_hashed_tfidf_drives_the_ann_family(spark):
+    """The bridge claim end-to-end: pivot the sparse hashed-TF-IDF rows
+    to dense array<double> vectors (bounded by dim per doc) and feed
+    simsearch.ann_bruteforce_topk — a planted near-twin (one word
+    changed) must come back as its source's NEAREST neighbor, ahead of
+    unrelated docs, using nothing but the text corpus."""
+    from pyspark.sql import functions as F
+
+    from crawlspark import simsearch
+
+    base = [
+        (0, "spark shuffles keyed rows between stages for wide operators"),
+        (1, "spark shuffles keyed rows between stages for wide operations"),
+        (2, "the quick brown fox jumps over the lazy sleeping dog"),
+        (3, "parquet files store columns with statistics for pruning scans"),
+        (4, "watermark bounded state lets streams drop late arriving data"),
+    ]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    dim = 32
+    sparse = textops.hashed_tfidf(docs, dim=dim)
+    dense = sparse.groupBy("doc_id").agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda b: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(F.collect_list(F.struct("bucket", "w"))), b
+                ),
+                F.lit(0.0),
+            ),
+        ).alias("embedding")
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    top = simsearch.ann_bruteforce_topk(dense, k=1, n_queries=1).collect()
+    assert len(top) == 1
+    assert (top[0].q_id, top[0].vec_id) == (0, 1)  # the near-twin wins
+    # one changed word in an 8-word doc carries high idf weight (df=1),
+    # so the twin cosine sits well under 1.0 but far above strangers
+    assert top[0].cos > 0.7

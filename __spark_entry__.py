@@ -1130,6 +1130,21 @@ def _q_hashed_tfidf(spark, sf_dir):
     return textops.hashed_tfidf(_tpch(spark, sf_dir, "documents"), dim=16)
 
 
+def _q_topic_scores(spark, sf_dir):
+    """Focused-crawl page relevance (textops.topic_scores — Chakrabarti
+    et al., WWW 1999): cosine of each doc's hashed-TF-IDF vector against
+    the topic string 'spark window query' vectorized with the corpus
+    idf in the same dim=16 space — the relevance score a focused
+    crawler feeds its frontier priority. The oracle replays the doc
+    vectors, the topic vector (corpus df via LEFT JOIN, smooth idf),
+    and the shared-bucket dot product verbatim."""
+    from crawlspark import textops
+
+    return textops.topic_scores(
+        _tpch(spark, sf_dir, "documents"), "spark window query", dim=16
+    )
+
+
 def _q_boilerplate_cut(spark, sf_dir):
     """Per-source template removal (textops.boilerplate_cut — the
     RefinedWeb/CCNet site-template discipline): planted per-source
@@ -2050,6 +2065,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # R7-14 feature-hashing TF-IDF (Weinberger et al., ICML'09);
         # same window note as above
         "hashed_tfidf": _q_hashed_tfidf,
+        # R7-15 focused-crawl topic relevance (Chakrabarti et al.,
+        # WWW'99); same window note as above
+        "topic_scores": _q_topic_scores,
     }
 
 
@@ -2783,6 +2801,48 @@ def _textops_oracle_sql() -> dict[str, str]:
                    round(pb.w_raw / sqrt(nrm.ssq), 6) AS w
             FROM pb JOIN nrm USING (doc_id)
             WHERE nrm.ssq > 0
+            """,
+        "topic_scores": f"""
+            WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf
+                   FROM e GROUP BY doc_id, word),
+            dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            wt AS (SELECT tf.doc_id,
+                          CAST(('0x' || substr(md5(tf.word), 1, 8)) AS BIGINT)
+                            % 16 AS bucket,
+                          (CASE WHEN CAST(('0x' || substr(md5(tf.word), 9, 1))
+                                          AS BIGINT) % 2 = 1
+                                THEN 1.0 ELSE -1.0 END)
+                          * tf.tf
+                          * (ln((nn.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                            AS wt
+                   FROM tf JOIN dfreq USING (word) CROSS JOIN nn),
+            pb AS (SELECT doc_id, bucket, SUM(wt) AS w_raw
+                   FROM wt GROUP BY doc_id, bucket),
+            nrm AS (SELECT doc_id, SUM(w_raw * w_raw) AS ssq
+                    FROM pb GROUP BY doc_id),
+            dv AS (SELECT pb.doc_id, pb.bucket,
+                          round(pb.w_raw / sqrt(nrm.ssq), 6) AS w
+                   FROM pb JOIN nrm USING (doc_id) WHERE nrm.ssq > 0),
+            tt AS (SELECT * FROM (VALUES ('query', 1), ('spark', 1),
+                                         ('window', 1)) AS t(word, tf)),
+            twt AS (SELECT CAST(('0x' || substr(md5(tt.word), 1, 8)) AS BIGINT)
+                             % 16 AS bucket,
+                           (CASE WHEN CAST(('0x' || substr(md5(tt.word), 9, 1))
+                                           AS BIGINT) % 2 = 1
+                                 THEN 1.0 ELSE -1.0 END)
+                           * tt.tf
+                           * (ln((nn.n_docs + 1.0)
+                                 / (COALESCE(dfreq.df, 0) + 1.0)) + 1.0) AS wt
+                    FROM tt LEFT JOIN dfreq USING (word) CROSS JOIN nn),
+            tb AS (SELECT bucket, SUM(wt) AS t_raw FROM twt GROUP BY bucket),
+            tn AS (SELECT SUM(t_raw * t_raw) AS t_ssq FROM tb),
+            tv AS (SELECT bucket, t_raw / sqrt(tn.t_ssq) AS t_w
+                   FROM tb CROSS JOIN tn)
+            SELECT dv.doc_id, round(SUM(dv.w * tv.t_w), 6) AS topic_cos
+            FROM dv JOIN tv USING (bucket) GROUP BY dv.doc_id
             """,
         "boilerplate_cut": """
             WITH d AS (

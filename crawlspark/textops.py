@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from collections import Counter
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -1085,6 +1086,73 @@ def hashed_tfidf(docs: DataFrame, dim: int = 64, text_col: str = "text") -> Data
             "bucket",
             F.round(F.col("w_raw") / F.sqrt("ssq"), 6).alias("w"),
         )
+    )
+
+
+def topic_scores(
+    docs: DataFrame, topic: str, dim: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Focused-crawl page relevance (Chakrabarti, van den Berg, Dom,
+    "Focused crawling", WWW 1999; public literature): cosine similarity
+    of every document's hashed-TF-IDF vector against a TOPIC string
+    vectorized in the same space — the page-level score a focused
+    crawler feeds its frontier priority (compose with
+    pagerank_boosts_df over score-as-pr for the boosts_df seam, the
+    host_opic hand-off).
+
+    The topic uses the CORPUS idf (standard: query-side weights come
+    from collection statistics): topic words missing from the corpus
+    carry df = 0 → smooth idf of ln(N+1)+1. Both sides L2-normalize, so
+    the score is the dot product over shared buckets. One row per doc
+    with a non-degenerate vector: (doc_id, topic_cos), rounded 6.
+
+    Scale shape: the corpus side is hashed_tfidf verbatim (one explode,
+    keyed map-side-combined aggregates, nothing corpus-derived
+    broadcast); the topic side is a ≤dim-row frame built from one
+    driver-side string — broadcast by construction; the score is one
+    bucket-keyed join with that tiny frame + one doc-keyed aggregate."""
+    vecs = hashed_tfidf(docs, dim=dim, text_col=text_col)
+    words = [w for w in topic.lower().split(" ") if w]
+    if not words:
+        raise ValueError("topic must contain at least one word")
+    spark = docs.sparkSession
+    t_tf = spark.createDataFrame(
+        [(w, c) for w, c in sorted(Counter(words).items())],
+        "word string, tf long",
+    )
+    dfreq = (
+        docs.select("doc_id", F.explode(words_col(text_col)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.lit(1).alias("one"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n1 = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % dim
+    ).alias("bucket")
+    sign = F.when(
+        F.conv(F.substring(F.md5("word"), 9, 1), 16, 10).cast("long") % 2 == 1,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    idf = F.log(
+        (F.col("n_docs") + 1.0) / (F.coalesce(F.col("df"), F.lit(0)) + 1.0)
+    ) + 1.0
+    t_raw = (
+        t_tf.join(dfreq, "word", "left")
+        .crossJoin(F.broadcast(n1))
+        .select(bucket, (sign * F.col("tf") * idf).alias("wt"))
+        .groupBy("bucket")
+        .agg(F.sum("wt").alias("t_raw"))
+    )
+    t_norm = t_raw.agg(F.sum(F.col("t_raw") * F.col("t_raw")).alias("t_ssq"))
+    t_vec = t_raw.crossJoin(F.broadcast(t_norm)).select(
+        "bucket", (F.col("t_raw") / F.sqrt("t_ssq")).alias("t_w")
+    )
+    return (
+        vecs.join(F.broadcast(t_vec), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("w") * F.col("t_w")), 6).alias("topic_cos"))
     )
 
 

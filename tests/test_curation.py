@@ -1144,3 +1144,34 @@ def test_hashed_tfidf_drives_the_ann_family(spark):
     # one changed word in an 8-word doc carries high idf weight (df=1),
     # so the twin cosine sits well under 1.0 but far above strangers
     assert top[0].cos > 0.7
+
+
+def test_topic_scores_orders_by_relevance(spark):
+    """Focused-crawl relevance: a doc made of the topic words outranks a
+    doc sharing one topic word, which outranks a disjoint-vocab doc
+    (absent from the output only if it shares no bucket — at dim=8 it
+    may collide, so assert order, not absence); topic words missing
+    from the corpus ride the smooth-idf LEFT JOIN path; an empty topic
+    raises."""
+    import pytest as _pytest
+
+    rows = [
+        (0, "spark window query spark window query"),
+        (1, "spark shuffles data between executors and stages"),
+        (2, "the quick brown fox jumps over a lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.topic_cos
+        for r in textops.topic_scores(df, "spark window query", dim=8).collect()
+    }
+    assert out[0] > out[1]
+    assert out[0] > 0.9  # near-pure topic doc
+    assert out[1] > out.get(2, -1.0)
+    # unseen topic word: still well-defined (df=0 smooth idf)
+    out2 = textops.topic_scores(df, "spark zzzunseenzzz", dim=8).collect()
+    assert {r.doc_id for r in out2} and all(
+        r.topic_cos == r.topic_cos for r in out2
+    )
+    with _pytest.raises(ValueError, match="at least one word"):
+        textops.topic_scores(df, "   ")

@@ -66,6 +66,7 @@ def test_round5_query_invariance(spark):
         "host_opic",
         "boilerplate_cut",
         "hashed_tfidf",
+        "topic_scores",
     )
     q = entry.queries()
 

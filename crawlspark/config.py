@@ -246,7 +246,38 @@ class CrawlConfig:
     # run the (independent) lineage + metrics writes on background threads,
     # overlapped with the frontier advance; both are joined BEFORE the round
     # commits, so exact resume is unaffected. Pure per-round latency win.
+    # Broadcast-mode bloom maintenance (partial collect + registry absorb +
+    # snapshot write + rebroadcast) rides the same pool: it only feeds NEXT
+    # round's probes and touches no manifest state, so overlapping it with
+    # the frontier advance is safe (relational mode stays serial — its
+    # compaction writes manifest entries, which must not race commit).
     async_lineage_metrics: bool = True
+    # with_seq engine choice (rank.with_seq): the scalable path costs two
+    # extra jobs per round (range-partition sampling — which re-executes the
+    # whole scheduling window chain — plus the per-partition sizes collect).
+    # The selected batch is bounded a priori by n_hosts × B (per-host budget
+    # B_h ≤ B), so when that bound fits one window task the single-partition
+    # row_number path is strictly cheaper and output-identical (tested in
+    # tests/test_rank.py). Bound unknown (no host table) ⇒ scalable. At the
+    # 10^10 design point n_hosts alone exceeds this, so the scalable path
+    # engages without a config change.
+    seq_window_max_rows: int = 1 << 20
+    # frontier-advance anti-join strategy: the deferral/exception anti-joins
+    # key the whole eligible frontier against ONLY the selected batch's
+    # url_hashes. n_selected is known exactly (Observation) before the
+    # advance runs, so below this row count the selected-hash side is
+    # broadcast — the frontier rewrite becomes exchange-free (guide-§8
+    # "decide with small rows, move big rows once"); above it the planner's
+    # shuffle join stands. ~16-32 B/key in the built relation ⇒ ≤ ~32 MB.
+    selected_broadcast_max_rows: int = 1_000_000
+    # fetch-stage task sizing: partitions = clamp(ceil(n_selected / this),
+    # 1, defaultParallelism). Big rounds keep full parallelism (unchanged
+    # behavior); tiny rounds stop paying one Python-worker round-trip and
+    # one parquet file per idle core. The fetch simulator is CPU-trivial, so
+    # per-task fixed cost dominates below a few hundred rows; a production
+    # HTTP client does its concurrency inside the task (async, per-host
+    # connection reuse) so rows-per-task stays the right lever there too.
+    fetch_rows_per_task: int = 256
     # Fold seen deltas into one bucket-clustered snapshot every N rounds
     # (run_crawl cadence; 0/None = never). DEFAULT ON, matching
     # compact_frontier_every: read_seen unions one seen_delta dir per round

@@ -96,6 +96,10 @@ class CrawlState:
     # resolved robots mode (cfg.robots_relational OR auto-selected by
     # rule-bearing-host count at init/resume — config.py threshold note)
     robots_relational: bool = False
+    # host-universe size (len of the robots host table at init/resume);
+    # bounds the selected batch a priori (≤ n_hosts × B) for the with_seq
+    # engine choice (cfg.seq_window_max_rows). None = unknown ⇒ scalable.
+    n_hosts: int | None = None
 
     def rules_bcast(self):
         if self.robots_relational:
@@ -279,6 +283,7 @@ def init_crawl(
     return CrawlState(
         spark, store, cfg, spec, robots_df, registry, next_round=1,
         robots_relational=_resolve_robots_mode(cfg, robots_df, len(_hosts)),
+        n_hosts=len(_hosts),
     )
 
 
@@ -334,6 +339,7 @@ def resume(
         return CrawlState(
             spark, store, cfg, spec, robots_df, None, next_round=last + 1,
             robots_relational=_resolve_robots_mode(cfg, robots_df, len(_hosts)),
+            n_hosts=len(_hosts),
         )
     if store.exists(last, "bloom"):
         bloom_rows = store.read(last, "bloom").collect()
@@ -378,6 +384,7 @@ def resume(
     return CrawlState(
         spark, store, cfg, spec, robots_df, registry, next_round=last + 1,
         robots_relational=_resolve_robots_mode(cfg, robots_df, len(_hosts)),
+        n_hosts=len(_hosts),
     )
 
 
@@ -595,7 +602,6 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         # measured NEUTRAL at sf0.1 and -4% at the 1M-host tier (cache
         # materialization under memory pressure costs more than the
         # re-walk — BENCH notes round 3)
-        ineligible = None  # never rewritten in the delta engine
     else:
         if cfg.frontier_delta:
             # stored round under 'auto': the previous round may have been a
@@ -607,7 +613,6 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         else:
             frontier = store.read(r - 1, "frontier")
         eligible = frontier.filter(F.col("not_before_round") <= r)
-        ineligible = frontier.filter(F.col("not_before_round") > r)
     prev_host_state = None
     if cfg.adaptive_politeness:
         if store.exists(r - 1, "host_state"):
@@ -676,8 +681,21 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         n_ip_kept = host_capped.count()  # materializes + resolves obs_ipin
         n_ip_capped = int(obs_ipin.get["n"]) - n_ip_kept
     selected = rank.attach_boosts(host_capped, cfg, boosts_df=st.boosts_df)
+    # a-priori batch bound: per-host selection emits ≤ B rows per host (and
+    # retry/recrawl re-entries compete under the same per-host window), so
+    # the uncapped batch is ≤ n_hosts × B. Below cfg.seq_window_max_rows the
+    # single-window with_seq path is output-identical and saves the scalable
+    # path's two extra jobs per round — the range-partition sampling job
+    # re-executes the whole scheduling window chain (config.py note).
+    _batch_bound = (
+        st.n_hosts * max(1, cfg.max_fetches_per_host_per_round)
+        if st.n_hosts is not None
+        else None
+    )
     seq_df = rank.with_seq(
-        rank.cap_round(selected, cfg), scalable=cfg.round_capacity is None
+        rank.cap_round(selected, cfg),
+        scalable=cfg.round_capacity is None
+        and (_batch_bound is None or _batch_bound > cfg.seq_window_max_rows),
     )
     ordered = seq_df.drop("boost").persist(StorageLevel.MEMORY_AND_DISK)
     # with_seq's scalable path hangs its persisted inner frame on the
@@ -709,13 +727,31 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     n_frontier_sel = (
         int(obs_sel.get["n_frontier_sel"] or 0) if cfg.fetch_retries else n_selected
     )
+    # the selected batch's url_hash side for the advance anti-joins below:
+    # n_selected is exact (Observation), so small batches broadcast and the
+    # frontier rewrite runs exchange-free; large batches keep the shuffle
+    # join (cfg.selected_broadcast_max_rows — guide-§8 "decide with small
+    # rows" applied to the frontier advance).
+    sel_hashes = ordered.select("url_hash")
+    if n_selected <= cfg.selected_broadcast_max_rows:
+        sel_hashes = F.broadcast(sel_hashes)
     _tick("schedule")
 
     # --- fetch (U-5) -> documents sink (S5) --------------------------------
     fetch_fn = (
         fetch_mod.fetch_selected if cfg.fetch_arrow else fetch_mod.fetch_selected_pandas
     )
-    docs = fetch_fn(ordered, r, st.spec)
+    # task sizing from the exact batch count: full parallelism for big
+    # rounds, no per-core Python-worker/file overhead for tiny ones
+    # (cfg.fetch_rows_per_task)
+    _fetch_par = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_selected // max(1, cfg.fetch_rows_per_task)),
+        ),
+    )
+    docs = fetch_fn(ordered, r, st.spec, parallelism=_fetch_par)
     # --- conditional refetch (opt-in cfg.conditional_fetch): a refetch
     # whose content fingerprint matches the recrawl_state validator is
     # classified 304 — status rewritten, spans EMPTIED before the sink
@@ -804,7 +840,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         if q_elig is not None:
             mult_col = F.col("mult") if "mult" in q_elig.columns else F.lit(1)
             remain = (
-                q_elig.join(ordered.select("url_hash"), "url_hash", "left_anti")
+                q_elig.join(sel_hashes, "url_hash", "left_anti")
                 .withColumn(
                     "not_before_round",
                     (F.lit(r) + F.col("delay_slots") * mult_col).cast("int"),
@@ -1032,33 +1068,70 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             .drop("_qrank", "_used")
         )
     new = new.persist(StorageLevel.MEMORY_AND_DISK)
-    obs_new = Observation()
-    store.write(
+    # ONE serial materialization of the candidate chain: the count pins
+    # cands/new in cache, yields n_new directly, and resolves every
+    # upstream Observation exactly once (racing two first-materializations
+    # would double-fire CollectMetrics — the ip_cap note's hazard).
+    # Everything that then CONSUMES the cached batch — the seen_delta
+    # write, bloom upkeep, lineage/metrics — is independent of the
+    # frontier advance, so it all rides the pool and overlaps the advance;
+    # every future is joined before the round commits (exact resume).
+    n_new = new.count()
+    n_quota_dropped = 0
+    if cfg.host_page_quota:
+        # the count above already forced the observed pass
+        n_quota_dropped = int(obs_qd.get["nd"] or 0)
+    pool = None
+    futures = []
+    if cfg.async_lineage_metrics:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=4)
+
+    def _submit(fn, *a) -> None:
+        if pool is not None:
+            futures.append(pool.submit(fn, *a))
+        else:
+            fn(*a)
+
+    _submit(
+        store.write,
         # O2 layout: cluster the delta by bucket, sort by url_hash — keeps
         # the append-only seen table physically partition-prunable by
         # bucket (growth rebuilds, co-located anti-joins at scale)
-        new.observe(obs_new, F.count(F.lit(1)).alias("n"))
-        .select("url_hash", "url", "bucket")
+        new.select("url_hash", "url", "bucket")
         .repartition(F.col("bucket"))
         .sortWithinPartitions("url_hash"),
         r,
         "seen_delta",
     )
-    n_new = int(obs_new.get["n"])
-    n_quota_dropped = 0
     if cfg.host_page_quota:
-        # the seen_delta write above already forced the observed pass
-        n_quota_dropped = int(obs_qd.get["nd"] or 0)
-        store.write(
+        _submit(
+            store.write,
             new.groupBy("host_hash").agg(F.count(F.lit(1)).cast("long").alias("n")),
             r,
             "host_counts",
         )
+
     _tick("parse_dedup")
+
+    def _bloom_maintenance() -> None:
+        # broadcast-mode registry upkeep: partial-blob collect + driver OR +
+        # snapshot write + rebroadcast. All of it feeds ONLY next round's
+        # probes (this round's candidate pass already ran) and touches no
+        # manifest state, so it overlaps the frontier advance below when the
+        # async pool is on (config.async_lineage_metrics note); joined
+        # before commit either way.
+        delta, grew = _absorb_new_into_registry(new, st.registry, store, r, cfg)
+        _write_bloom(spark, store, st.registry, r)
+        _refresh_bloom_broadcast(st, delta, grew)
+
     if relational_bloom:
         # O(batch) delta: this round's partial blobs land as parquet rows —
         # no collect, no driver OR, no re-broadcast; the chain is compacted
-        # (merge or grow) distributed every bloom_rebroadcast_every rounds
+        # (merge or grow) distributed every bloom_rebroadcast_every rounds.
+        # Stays serial: compaction records manifest bases, which must not
+        # race the round commit's manifest read-modify-write.
         store.write(
             seen_mod.partial_bloom_blobs(
                 new, st.bloom_delta_params(),
@@ -1070,9 +1143,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         if cfg.bloom_rebroadcast_every and r % cfg.bloom_rebroadcast_every == 0:
             _compact_bloom(st, r)
     else:
-        delta, grew = _absorb_new_into_registry(new, st.registry, store, r, cfg)
-        _write_bloom(spark, store, st.registry, r)
-        _refresh_bloom_broadcast(st, delta, grew)
+        _submit(_bloom_maintenance)
     _tick("bloom")
 
     # --- lineage + metrics (S9/A4): independent of the frontier advance, so
@@ -1082,8 +1153,8 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     )
     n_url_filtered = 0
     if obs_uq is not None:
-        # obs_new above already forced the candidate pass, so this get is
-        # a no-wait read; sum() over an empty batch is NULL, hence the or-0
+        # the new.count() above already forced the candidate pass, so this
+        # get is a no-wait read; sum() over an empty batch is NULL → or-0
         n_url_filtered = int(obs_uq.get["n_filtered"] or 0)
         lineage = lineage.unionByName(
             metrics.scalar_lineage(spark, r, "url_filtered", n_url_filtered)
@@ -1109,15 +1180,8 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             metrics.scalar_lineage(spark, r, "ip_capped", n_ip_capped)
         )
     fetch_m = metrics.fetch_metrics(docs_r, r)
-    lm_futures = []
-    if cfg.async_lineage_metrics:
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=2)
-        lm_futures = [
-            pool.submit(store.write, lineage, r, "lineage"),
-            pool.submit(store.write, fetch_m, r, "metrics"),
-        ]
+    _submit(store.write, lineage, r, "lineage")
+    _submit(store.write, fetch_m, r, "metrics")
 
     # --- frontier advance (U1/U2 + W3 deferral) ----------------------------
     new_frontier_rows = rank.attach_host_budget(
@@ -1149,7 +1213,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
                 else F.lit(False)
             )
             exceptions = (
-                eligible.join(ordered.select("url_hash"), "url_hash", "left_anti")
+                eligible.join(sel_hashes, "url_hash", "left_anti")
                 .filter((mult_col > 1) | stored)
                 .select(
                     "url_hash",
@@ -1173,20 +1237,27 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             store.write(_frontier_shape(_effective_frontier(store, r)), r, "frontier")
             store.record_frontier_base(r)
     else:
-        # delay_slots is a frontier column (attached at ingest) — no join
-        # here; under adaptive politeness the deferral stretches by the
-        # transient `mult` column (the persisted base stays unscaled)
+        # ONE scan of the frontier: drop the selected rows (anti-join on the
+        # batch hashes — broadcast when small, so the pass is exchange-free),
+        # bump the eligible remainder's deferral, keep ineligible rows
+        # unchanged. Set-identical to the old deferred ∪ ineligible two-scan
+        # union (selected ⊆ eligible, so the anti-join can run over the whole
+        # frontier), with one scan and one fewer union branch. delay_slots is
+        # a frontier column (attached at ingest) — no join; under adaptive
+        # politeness the transient `mult` rides the same broadcast host_state
+        # join the scheduling slice uses (the persisted base stays unscaled).
+        adv = frontier
+        if cfg.adaptive_politeness and prev_host_state is not None:
+            adv = rank.apply_adaptive(adv, prev_host_state, cfg)
         delay_eff = F.col("delay_slots") * (
-            F.col("mult") if "mult" in eligible.columns else F.lit(1)
+            F.col("mult") if "mult" in adv.columns else F.lit(1)
         )
-        deferred = eligible.join(
-            ordered.select("url_hash"), "url_hash", "left_anti"
-        ).withColumn("not_before_round", (F.lit(r) + delay_eff).cast("int"))
-        frontier_next = (
-            _frontier_shape(deferred)
-            .unionByName(_frontier_shape(ineligible))
-            .unionByName(incoming)
+        _nb = F.col("not_before_round")
+        remain = adv.join(sel_hashes, "url_hash", "left_anti").withColumn(
+            "not_before_round",
+            F.when(_nb <= r, F.lit(r) + delay_eff).otherwise(_nb).cast("int"),
         )
+        frontier_next = _frontier_shape(remain).unionByName(incoming)
         obs_fr = Observation()
         store.write(
             frontier_next.observe(obs_fr, F.count(F.lit(1)).alias("n")), r, "frontier"
@@ -1199,13 +1270,10 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             store.record_frontier_base(r)
     _tick("frontier")
 
-    if lm_futures:
-        for f in lm_futures:
+    if pool is not None:
+        for f in futures:
             f.result()  # must land before the round commits (exact resume)
         pool.shutdown(wait=False)
-    else:
-        store.write(lineage, r, "lineage")
-        store.write(fetch_m, r, "metrics")
     _tick("lineage_metrics")
     if _timing:
         _t.pop("_last", None)

@@ -36,6 +36,9 @@ from pyspark.sql import SparkSession, functions as F
 cores = {cores}
 n_blobs = {blobs}
 blob_bytes = {blob_kb} * 1024
+avg_bits = {avg_bits}
+min_len = {min_len}
+max_len = {max_len}
 spark = (
     SparkSession.builder.master(f"local[{{cores}}]")
     .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
@@ -88,14 +91,18 @@ def sink(df):
 # warmup both engine plans on a slice (bench.py methodology)
 small = blobs.limit(8).persist()
 small.count()
-sink(media.cdc_chunk_table(small, engine="numpy"))
-sink(media.cdc_chunk_table(small, engine="python"))
+sink(media.cdc_chunk_table(small, engine="numpy", min_len=min_len, avg_bits=avg_bits, max_len=max_len))
+sink(media.cdc_chunk_table(small, engine="python", min_len=min_len, avg_bits=avg_bits, max_len=max_len))
+sink(media.cdc_chunk_table(small, engine="numpy", chunk_hash="xxh64", min_len=min_len, avg_bits=avg_bits, max_len=max_len))
 small.unpersist()
 
-out = {{"cores": cores, "n_blobs": n_blobs, "total_mb": total_mb, "engines": {{}}}}
-for eng in ("numpy", "python"):
+out = {{"cores": cores, "n_blobs": n_blobs, "total_mb": total_mb,
+       "avg_bits": avg_bits, "engines": {{}}}}
+for eng, ch in (("numpy", "md5"), ("python", "md5"), ("numpy_xxh64", "xxh64")):
     t0 = time.perf_counter()
-    digest, n_chunks = sink(media.cdc_chunk_table(blobs, engine=eng))
+    digest, n_chunks = sink(media.cdc_chunk_table(
+        blobs, engine=eng.split("_")[0], chunk_hash=ch,
+        min_len=min_len, avg_bits=avg_bits, max_len=max_len))
     dt = time.perf_counter() - t0
     out["engines"][eng] = {{
         "sec": round(dt, 3),
@@ -108,8 +115,15 @@ spark.stop()
 """
 
 
-def run_level(cores: int, blobs: int, blob_kb: int) -> dict:
-    script = _WORKER.format(repo=REPO, cores=cores, blobs=blobs, blob_kb=blob_kb)
+def run_level(cores: int, blobs: int, blob_kb: int, avg_bits: int = 6) -> dict:
+    # keep the default chunk-size ratios across avg_bits: min = avg/4,
+    # max = avg*2 (the 16/64/128 shape of the defaults)
+    script = _WORKER.format(
+        repo=REPO, cores=cores, blobs=blobs, blob_kb=blob_kb,
+        avg_bits=avg_bits,
+        min_len=1 << max(avg_bits - 2, 2),
+        max_len=1 << (avg_bits + 1),
+    )
     path = os.path.join(REPO, "bench", f"_media_worker_{cores}.py")
     with open(path, "w") as f:
         f.write(script)
@@ -133,17 +147,23 @@ def main() -> None:
     ap.add_argument("--pair", default="2,8")
     ap.add_argument("--blobs", type=int, default=512)
     ap.add_argument("--blob-kb", type=int, default=256)
+    ap.add_argument("--avg-bits", type=int, default=6)
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.pair.split(","))
-    r_lo = run_level(lo, args.blobs, args.blob_kb)
-    r_hi = run_level(hi, args.blobs, args.blob_kb)
+    r_lo = run_level(lo, args.blobs, args.blob_kb, args.avg_bits)
+    r_hi = run_level(hi, args.blobs, args.blob_kb, args.avg_bits)
     np_lo, np_hi = r_lo["engines"]["numpy"], r_hi["engines"]["numpy"]
     py_lo, py_hi = r_lo["engines"]["python"], r_hi["engines"]["python"]
     digests = {
-        e["digest"] for r in (r_lo, r_hi) for e in r["engines"].values()
+        r["engines"][e]["digest"]
+        for r in (r_lo, r_hi)
+        for e in ("numpy", "python")  # md5 engines; xxh64 compared apart
     }
+    xx_lo = r_lo["engines"]["numpy_xxh64"]
+    xx_hi = r_hi["engines"]["numpy_xxh64"]
     report = {
         "pair": [lo, hi],
+        "avg_bits": args.avg_bits,
         "total_mb": r_lo["total_mb"],
         "numpy": {
             f"mbps_{lo}": np_lo["mb_per_sec"],
@@ -162,9 +182,15 @@ def main() -> None:
         "numpy_speedup": round(
             np_hi["mb_per_sec"] / py_hi["mb_per_sec"], 2
         ),
+        "numpy_xxh64": {
+            f"mbps_{lo}": xx_lo["mb_per_sec"],
+            f"mbps_{hi}": xx_hi["mb_per_sec"],
+        },
         "n_chunks": np_lo["n_chunks"],
         "digest_match": len(digests) == 1
-        and np_lo["n_chunks"] == np_hi["n_chunks"] == py_lo["n_chunks"],
+        and np_lo["n_chunks"] == np_hi["n_chunks"] == py_lo["n_chunks"]
+        and xx_lo["n_chunks"] == xx_hi["n_chunks"] == np_lo["n_chunks"]
+        and xx_lo["digest"] == xx_hi["digest"],
     }
     print(json.dumps(report))
 

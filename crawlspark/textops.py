@@ -1044,19 +1044,43 @@ def hashed_tfidf(docs: DataFrame, dim: int = 64, text_col: str = "text") -> Data
     the cross-engine hash convention, so the DuckDB twin reproduces
     buckets, signs, and weights bit-for-bit (round 6).
 
-    Scale shape: one explode; tf is a map-side-combined (doc_id, word)
-    aggregate; df reuses those rows keyed by word; N is a 1-row
-    broadcast; the bucket aggregate and the L2-norm join are doc-keyed.
-    Nothing corpus-derived is broadcast — df rides the word-keyed join
-    (vocabulary-cardinality, shuffle). Docs whose weights fully cancel
-    (ssq = 0, exact — squares are order-proof) are dropped."""
-    tf = (
+    Scale shape (round 8): ONE explode — tf is a map-side-combined
+    (doc_id, word) aggregate and df is a COUNT WINDOW over the word key
+    on those same rows, so the corpus is exploded and shuffled exactly
+    once (plan-asserted: a single Generate in the executedPlan). The
+    round-7 form computed df as a separate aggregate re-joined on word;
+    column pruning made that subtree non-canonical with the weighted
+    side, so exchange reuse never fired and the explode ran twice — the
+    window removes both the second explode and the word-keyed join. Key
+    distribution is unchanged (the old shuffle_hash join clustered the
+    same tf rows by the same word key), so hot-word skew exposure is
+    identical. N is a 1-row broadcast; the bucket aggregate and the
+    L2-norm join are doc-keyed; nothing corpus-derived is broadcast.
+    Docs whose weights fully cancel (ssq = 0, exact — squares are
+    order-proof) are dropped."""
+    return _hashed_tfidf_vecs(
+        _tf_frame(docs, text_col), _ndocs_frame(docs), dim
+    )
+
+
+def _tf_frame(docs: DataFrame, text_col: str) -> DataFrame:
+    """The hashed-TF-IDF family's ONE corpus pass: per-(doc, word) term
+    counts from a single explode (shared by hashed_tfidf and
+    topic_scores so the family never re-tokenizes the corpus)."""
+    return (
         docs.select("doc_id", F.explode(words_col(text_col)).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n1 = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+
+
+def _ndocs_frame(docs: DataFrame) -> DataFrame:
+    return docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+
+
+def _hashed_tfidf_vecs(tf: DataFrame, n1: DataFrame, dim: int) -> DataFrame:
+    from pyspark.sql import Window as _W
+
     bucket = (
         F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % dim
     ).alias("bucket")
@@ -1065,9 +1089,13 @@ def hashed_tfidf(docs: DataFrame, dim: int = 64, text_col: str = "text") -> Data
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # df = rows per word over the SAME tf rows (one (doc,word) row per
+    # containing doc, so the count IS the document frequency)
+    withdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("word"))
+    )
     weighted = (
-        tf.join(dfreq.hint("shuffle_hash"), "word")
-        .crossJoin(F.broadcast(n1))
+        withdf.crossJoin(F.broadcast(n1))
         .select(
             "doc_id", bucket, (sign * F.col("tf") * idf).alias("wt")
         )
@@ -1075,11 +1103,17 @@ def hashed_tfidf(docs: DataFrame, dim: int = 64, text_col: str = "text") -> Data
     per_bucket = weighted.groupBy("doc_id", "bucket").agg(
         F.sum("wt").alias("w_raw")
     )
-    norms = per_bucket.groupBy("doc_id").agg(
-        F.sum(F.col("w_raw") * F.col("w_raw")).alias("ssq")
+    # L2 norm as a doc-keyed window over the per-bucket rows (≤dim per
+    # doc): referencing per_bucket ONCE keeps the plan a single chain —
+    # the round-7 groupBy+self-join referenced it twice, and exchange
+    # reuse does not reliably deduplicate the subtree once this operator
+    # is composed into a larger query (topic_scores paid a second full
+    # corpus explode through exactly that gap)
+    ssq = F.sum(F.col("w_raw") * F.col("w_raw")).over(
+        _W.partitionBy("doc_id")
     )
     return (
-        per_bucket.join(norms, "doc_id")
+        per_bucket.withColumn("ssq", ssq)
         .filter(F.col("ssq") > 0)
         .select(
             "doc_id",
@@ -1103,31 +1137,40 @@ def topic_scores(
     The topic uses the CORPUS idf (standard: query-side weights come
     from collection statistics): topic words missing from the corpus
     carry df = 0 → smooth idf of ln(N+1)+1. Both sides L2-normalize, so
-    the score is the dot product over shared buckets. One row per doc
-    with a non-degenerate vector: (doc_id, topic_cos), rounded 6.
+    the score is the dot product over shared buckets — a doc whose
+    vector has NO bucket in common with the topic is omitted from the
+    output (consumers treat absence as 0.0), as is a doc whose weights
+    fully cancel: (doc_id, topic_cos), rounded 6.
 
-    Scale shape: the corpus side is hashed_tfidf verbatim (one explode,
-    keyed map-side-combined aggregates, nothing corpus-derived
-    broadcast); the topic side is a ≤dim-row frame built from one
-    driver-side string — broadcast by construction; the score is one
-    bucket-keyed join with that tiny frame + one doc-keyed aggregate."""
-    vecs = hashed_tfidf(docs, dim=dim, text_col=text_col)
+    Scale shape (round 8): the corpus side is hashed_tfidf built from
+    the shared _tf_frame single-pass form (one explode, window df — see
+    hashed_tfidf). The topic-side idf needs df for ≤k topic words only,
+    so its aggregate is broadcast-semi-filtered to those words BEFORE
+    any shuffle — the round-7 form re-exploded the corpus into a FULL
+    (doc_id, word) exchange plus a full word exchange just to read ≤k
+    df values; now only the matching rows (docs containing a topic
+    word) leave the map side. The topic vector is a ≤dim-row frame —
+    broadcast by construction; the score is one bucket-keyed join with
+    that tiny frame + one doc-keyed aggregate."""
     words = [w for w in topic.lower().split(" ") if w]
     if not words:
         raise ValueError("topic must contain at least one word")
+    tf = _tf_frame(docs, text_col)
+    n1 = _ndocs_frame(docs)
+    vecs = _hashed_tfidf_vecs(tf, n1, dim)
     spark = docs.sparkSession
     t_tf = spark.createDataFrame(
         [(w, c) for w, c in sorted(Counter(words).items())],
         "word string, tf long",
     )
+    # df restricted to the topic's words: count the tf rows (one per
+    # containing doc) that survive a broadcast semi-join on the ≤k-word
+    # set — identical values to the full-vocabulary df for those words
     dfreq = (
-        docs.select("doc_id", F.explode(words_col(text_col)).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.lit(1).alias("one"))
+        tf.join(F.broadcast(t_tf.select("word")), "word", "semi")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    n1 = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     bucket = (
         F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % dim
     ).alias("bucket")
@@ -1145,9 +1188,15 @@ def topic_scores(
         .groupBy("bucket")
         .agg(F.sum("wt").alias("t_raw"))
     )
-    t_norm = t_raw.agg(F.sum(F.col("t_raw") * F.col("t_raw")).alias("t_ssq"))
-    t_vec = t_raw.crossJoin(F.broadcast(t_norm)).select(
-        "bucket", (F.col("t_raw") / F.sqrt("t_ssq")).alias("t_w")
+    # L2-normalize via ONE global window over the ≤dim-row topic frame:
+    # the round-7 agg + crossJoin referenced t_raw twice, duplicating
+    # the whole topic subtree (and its corpus pass) in the plan — the
+    # window reads it once, and a single partition of ≤dim rows is free
+    from pyspark.sql import Window as _W
+
+    t_ssq = F.sum(F.col("t_raw") * F.col("t_raw")).over(_W.partitionBy())
+    t_vec = t_raw.select(
+        "bucket", (F.col("t_raw") / F.sqrt(t_ssq)).alias("t_w")
     )
     return (
         vecs.join(F.broadcast(t_vec), "bucket")

@@ -132,6 +132,12 @@ def test_cdc_numpy_core_bit_identical_to_scalar():
         (8, 6, 32),     # min_len just above avg_bits
         (6, 6, 48),     # min_len == avg_bits (boundary of the identity)
         (4, 6, 32),     # min_len < avg_bits: fallback path
+        # production chunk-size regimes (VERDICT r7 #2: the doubling
+        # kernel must stay bit-identical at large avg_bits, not just
+        # the test default) — uint16 and uint32 accumulator dtypes
+        (256, 13, 8192),
+        (2048, 13, 65536),
+        (4096, 20, 65536),
     ]
     for min_len, avg_bits, max_len in params:
         for i, p in enumerate(payloads):
@@ -139,6 +145,37 @@ def test_cdc_numpy_core_bit_identical_to_scalar():
             a = media.cdc_chunks_of(ref, p, min_len, avg_bits, max_len)
             b = media.cdc_chunks_of_np(ref, p, min_len, avg_bits, max_len)
             assert a == b, (min_len, avg_bits, max_len, i, a[:3], b[:3])
+
+
+def test_cdc_xxh64_chunk_hash_same_boundaries():
+    """chunk_hash='xxh64' (the production digest swap) changes ONLY the
+    digest column: boundaries/indices identical to the md5 form, and
+    each digest is the 16-hex xxh64 of the exact chunk bytes (the
+    scalar-fallback regime included)."""
+    import random
+
+    from crawlspark import media
+    from crawlspark.xxh64 import hash_bytes_np
+
+    rng = random.Random(11)
+    p = bytes(rng.randrange(256) for _ in range(20000))
+    for min_len, avg_bits, max_len in [(16, 6, 128), (256, 13, 8192), (4, 6, 32)]:
+        a = media.cdc_chunks_of_np(a_ref := "r/x", p, min_len, avg_bits, max_len)
+        b = media.cdc_chunks_of_np(a_ref, p, min_len, avg_bits, max_len,
+                                   chunk_hash="xxh64")
+        assert [r[:4] for r in a] == [r[:4] for r in b]
+        exp = hash_bytes_np([p[s : s + ln] for (_, _, s, ln, _) in a])
+        import numpy as np
+
+        assert [r[4] for r in b] == [
+            f"{int(h):016x}" for h in exp.view(np.uint64)
+        ]
+    # empty payload: one empty chunk, xxh64 of b""
+    e = media.cdc_chunks_of_np("r/e", b"", chunk_hash="xxh64")
+    assert e[0][:4] == ("r/e", 0, 0, 0)
+    import numpy as np
+
+    assert e[0][4] == f"{int(hash_bytes_np([b'']).view(np.uint64)[0]):016x}"
 
 
 def test_cdc_chunk_table_engines_identical(spark):

@@ -215,27 +215,73 @@ def candidate_rows(
         )
     # A2 dedup — deterministic winner; maybe_seen is functionally dependent
     # on url_hash (same canonical url) so any aggregate works: use max.
-    return cands.groupBy("url_hash").agg(
-        F.min("url").alias("url"),
-        F.min("priority").alias("priority"),
-        F.min("crawl_depth").alias("crawl_depth"),
-        F.min("bucket").alias("bucket"),
-        F.min("host_hash").alias("host_hash"),
-        F.min("host").alias("host"),
-        F.max("maybe_seen").alias("maybe_seen"),
+    # Round 8: keyed (bucket, url_hash) after ONE explicit bucket
+    # repartition — bucket = url_hash mod P, so the groups are identical
+    # to the old url_hash keying, but hash(bucket) partitioning now
+    # satisfies the clustering requirement of everything downstream: this
+    # dedup, the (bucket, url_hash) exact anti-join (split_new), the
+    # relational bloom cogroup on bucket, and the bucket-clustered
+    # seen_delta write. Candidates cross the wire once instead of once
+    # per keying (guide §2.4 "two operations keyed the same way can share
+    # one exchange"; plan-asserted in tests/test_seen_integration.py).
+    return (
+        cands.repartition(F.col("bucket"))
+        .groupBy("bucket", "url_hash")
+        .agg(
+            F.min("url").alias("url"),
+            F.min("priority").alias("priority"),
+            F.min("crawl_depth").alias("crawl_depth"),
+            F.min("host_hash").alias("host_hash"),
+            F.min("host").alias("host"),
+            F.max("maybe_seen").alias("maybe_seen"),
+        )
+        .select(
+            "url_hash", "url", "priority", "crawl_depth", "bucket",
+            "host_hash", "host", "maybe_seen",
+        )
     )
 
 
-def split_new(cands: DataFrame, seen: DataFrame | None) -> DataFrame:
+def split_new(
+    cands: DataFrame, seen: DataFrame | None, n_buckets: int | None = None
+) -> DataFrame:
     """J1 exact tier on the pre-flagged candidates: definitely-new rows
-    bypass the join; maybe-seen rows anti-join the exact seen table."""
+    bypass the join; maybe-seen rows anti-join the exact seen table.
+
+    With ``n_buckets`` the anti-join keys on (bucket, url_hash) — the
+    seen side's bucket is DERIVED from url_hash mod n_buckets (equal
+    url_hash ⇒ equal bucket by construction, immune to stored-bucket
+    drift), so the candidate side's existing hash(bucket) partitioning
+    (candidate_rows round-8 keying) satisfies the join's clustering
+    requirement and only the seen side shuffles. Without it (legacy
+    callers/tests) the join keys on url_hash alone — identical rows
+    either way."""
     if seen is None:
         return cands.drop("maybe_seen")
     definitely = cands.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = cands.filter(F.col("maybe_seen")).drop("maybe_seen")
-    survived = maybe.hint("shuffle_hash").join(
-        seen.select("url_hash"), "url_hash", "left_anti"
-    )
+    if n_buckets is None:
+        survived = maybe.hint("shuffle_hash").join(
+            seen.select("url_hash"), "url_hash", "left_anti"
+        )
+    else:
+        seen_keys = seen.select(
+            F.pmod(F.col("url_hash"), F.lit(int(n_buckets)))
+            .cast("int")
+            .alias("bucket"),
+            "url_hash",
+        )
+        # hint rides the SEEN side: LeftAnti can only build right, and a
+        # left-side hint names an impossible build side here (the planner
+        # then falls back to sort-merge — observed, Spark 4.1). The
+        # candidate side's hash(bucket) partitioning is accepted for the
+        # (bucket, url_hash) clustering only when
+        # spark.sql.requireAllClusterKeysForCoPartition=false (set by
+        # init_crawl/resume — see the note there); the seen side then
+        # co-partitions by bucket and ONLY it shuffles.
+        survived = maybe.join(
+            seen_keys.hint("shuffle_hash"), ["bucket", "url_hash"], "left_anti"
+        )
     return definitely.unionByName(survived)
 
 

@@ -123,6 +123,18 @@ class CrawlState:
         return [self.bloom_base_bcast, *self.bloom_delta_bcasts]
 
 
+def _set_crawl_session_confs(spark: SparkSession) -> None:
+    """Planner settings the crawl engine relies on (runtime-settable, so
+    the frozen bench/CLI builders need no change). Subset co-partitioning:
+    candidate_rows keys its one exchange on `bucket` and the seen
+    anti-join on (bucket, url_hash) — hash(bucket) satisfies that
+    clustering only when this flag is off (Spark's 3.3+ default guards
+    against skewed subset keys; bucket = url_hash mod P is uniform by
+    construction, so the guard costs a full extra candidate shuffle per
+    round here and protects nothing)."""
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+
+
 def _frontier_shape(df: DataFrame) -> DataFrame:
     return df.select(*[f.name for f in FRONTIER.fields])
 
@@ -233,6 +245,7 @@ def init_crawl(
     vs the oracle holds with the feature on, and omitting it keeps the
     crawl bit-equal to the sitemap-free oracle."""
     cfg.validate()
+    _set_crawl_session_confs(spark)
     store = SnapshotStore(spark, ckpt)
     _hosts = robots_hosts or _default_hosts(spec)
     robots_df = robots_table_df(spark, _hosts)
@@ -296,6 +309,7 @@ def resume(
 ) -> CrawlState:
     """Exact restart from the last committed round (SURVEY.md §4.2)."""
     cfg.validate()
+    _set_crawl_session_confs(spark)
     store = SnapshotStore(spark, ckpt)
     last = store.last_complete_round()
     if last is None:
@@ -471,7 +485,16 @@ def _refresh_bloom_broadcast(st: CrawlState, delta: dict, grew: bool) -> None:
 
 
 def _write_bloom(spark, store, registry: BloomRegistry, round_: int) -> None:
-    store.write(spark.createDataFrame(registry.to_rows(), SEEN_BLOOM), round_, "bloom")
+    # pandas → Arrow ingestion: the registry snapshot is ~P × m/8 bytes of
+    # blobs every round (5 MB at the test tier, far more at scale) and the
+    # Arrow path moves it driver→JVM columnar instead of pickled row
+    # tuples (measured ~0.32 s → ~0.20 s per write at P=64)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        registry.to_rows(), columns=[f.name for f in SEEN_BLOOM.fields]
+    )
+    store.write(spark.createDataFrame(pdf, SEEN_BLOOM), round_, "bloom")
 
 
 def _write_bloom_base_relational(
@@ -1038,7 +1061,7 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             cands.drop("maybe_seen"), store.read_bloom_chain(r - 1)
         )
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
-    new = cand_mod.split_new(cands, seen_df)
+    new = cand_mod.split_new(cands, seen_df, n_buckets=cfg.n_buckets)
     # --- per-host page quota (opt-in cfg.host_page_quota): frontier
     # admission control — rank this round's new rows per host, keep only
     # quota - used (used = chain-sum of the tiny per-host counts table) ---
@@ -1094,14 +1117,20 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         else:
             fn(*a)
 
+    # O2 layout: the delta stays bucket-clustered, sorted by url_hash —
+    # keeps the append-only seen table physically partition-prunable by
+    # bucket (growth rebuilds, co-located anti-joins at scale). With the
+    # round-8 candidate keying, `new` is ALREADY hash(bucket)-partitioned
+    # (candidate_rows' one bucket exchange flows through the anti-join
+    # branches), so the write needs no exchange of its own; the quota
+    # path re-keys by host_hash mid-stream, so only it restores the
+    # layout explicitly.
+    _seen_rows = new.select("url_hash", "url", "bucket")
+    if cfg.host_page_quota:
+        _seen_rows = _seen_rows.repartition(F.col("bucket"))
     _submit(
         store.write,
-        # O2 layout: cluster the delta by bucket, sort by url_hash — keeps
-        # the append-only seen table physically partition-prunable by
-        # bucket (growth rebuilds, co-located anti-joins at scale)
-        new.select("url_hash", "url", "bucket")
-        .repartition(F.col("bucket"))
-        .sortWithinPartitions("url_hash"),
+        _seen_rows.sortWithinPartitions("url_hash"),
         r,
         "seen_delta",
     )

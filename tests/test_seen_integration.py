@@ -123,3 +123,71 @@ def test_seen_compaction_bounds_union_fanin(spark):
         for r in spark.read.parquet(*raw_dirs).collect()
     )
     assert got == raw
+
+
+def test_candidate_chain_shares_one_bucket_exchange(spark):
+    """Round-8 plan contract (guide §2.4): the candidate pipeline —
+    fused parse pass → (bucket, url_hash) dedup → exact anti-join
+    against seen → bucket-clustered seen_delta projection — keys
+    everything off ONE explicit bucket repartition of the candidates.
+    With spark.sql.requireAllClusterKeysForCoPartition=false (set by
+    init_crawl/resume; bucket = url_hash mod P is uniform, so the skew
+    guard the default protects against cannot occur), the plan carries
+    exactly TWO exchanges: the candidates' bucket repartition and the
+    seen side's co-partitioning — the round-7 shape re-shuffled the
+    candidates a second time for the url_hash-keyed join. The join
+    stays ShuffledHashJoin BuildRight (nothing corpus-derived is
+    broadcast)."""
+    from crawlspark import candidates as cand_mod
+    from crawlspark.schemas import DOCUMENTS
+
+    cfg = CrawlConfig()
+    old = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition", None)
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    # AQE off for a deterministic static plan (the bench config; under
+    # AQE the same exchange appears once per consumer pre-execution and
+    # dedupes only at runtime via stage reuse)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rows = [
+            (
+                f"doc{i}",
+                f"http://h{i % 5}.example/p{i}",
+                1,
+                200,
+                [
+                    {"kind": "link", "text": None, "media_ref": f"/x{j}", "offset": j}
+                    for j in range(3)
+                ],
+                0,
+                0,
+            )
+            for i in range(50)
+        ]
+        docs = spark.createDataFrame(rows, DOCUMENTS)
+        seen_df = spark.createDataFrame(
+            [(i * 7919, f"u{i}", (i * 7919) % cfg.n_buckets) for i in range(100)],
+            "url_hash long, url string, bucket int",
+        )
+        cands = cand_mod.candidate_rows(docs, cfg, None, None)
+        new = cand_mod.split_new(cands, seen_df, n_buckets=cfg.n_buckets)
+        out = new.select("url_hash", "url", "bucket").sortWithinPartitions("url_hash")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "Reused" not in ln
+        ]
+        assert len(exchanges) == 2, plan
+        assert "ShuffledHashJoin" in plan and "BuildRight" in plan, plan
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+        else:
+            spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", old)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

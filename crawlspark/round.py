@@ -754,9 +754,12 @@ def crawl_round(st: CrawlState, r: int) -> dict:
     # n_selected is exact (Observation), so small batches broadcast and the
     # frontier rewrite runs exchange-free; large batches keep the shuffle
     # join (cfg.selected_broadcast_max_rows — guide-§8 "decide with small
-    # rows" applied to the frontier advance).
+    # rows" applied to the frontier advance). The flag also selects the
+    # advance SHAPE below: only the broadcast regime may scan the whole
+    # frontier in one pass.
+    sel_small = n_selected <= cfg.selected_broadcast_max_rows
     sel_hashes = ordered.select("url_hash")
-    if n_selected <= cfg.selected_broadcast_max_rows:
+    if sel_small:
         sel_hashes = F.broadcast(sel_hashes)
     _tick("schedule")
 
@@ -1106,7 +1109,9 @@ def crawl_round(st: CrawlState, r: int) -> dict:
         n_quota_dropped = int(obs_qd.get["nd"] or 0)
     pool = None
     futures = []
-    if cfg.async_lineage_metrics:
+    # overlap needs >1 task slot: at local[1] concurrent jobs only
+    # interleave stage scheduling on the single slot, so run serial there
+    if cfg.async_lineage_metrics and spark.sparkContext.defaultParallelism > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=4)
@@ -1266,15 +1271,10 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             store.write(_frontier_shape(_effective_frontier(store, r)), r, "frontier")
             store.record_frontier_base(r)
     else:
-        # ONE scan of the frontier: drop the selected rows (anti-join on the
-        # batch hashes — broadcast when small, so the pass is exchange-free),
-        # bump the eligible remainder's deferral, keep ineligible rows
-        # unchanged. Set-identical to the old deferred ∪ ineligible two-scan
-        # union (selected ⊆ eligible, so the anti-join can run over the whole
-        # frontier), with one scan and one fewer union branch. delay_slots is
-        # a frontier column (attached at ingest) — no join; under adaptive
-        # politeness the transient `mult` rides the same broadcast host_state
-        # join the scheduling slice uses (the persisted base stays unscaled).
+        # delay_slots is a frontier column (attached at ingest) — no join;
+        # under adaptive politeness the transient `mult` rides the same
+        # broadcast host_state join the scheduling slice uses (the
+        # persisted base stays unscaled).
         adv = frontier
         if cfg.adaptive_politeness and prev_host_state is not None:
             adv = rank.apply_adaptive(adv, prev_host_state, cfg)
@@ -1282,11 +1282,39 @@ def crawl_round(st: CrawlState, r: int) -> dict:
             F.col("mult") if "mult" in adv.columns else F.lit(1)
         )
         _nb = F.col("not_before_round")
-        remain = adv.join(sel_hashes, "url_hash", "left_anti").withColumn(
-            "not_before_round",
-            F.when(_nb <= r, F.lit(r) + delay_eff).otherwise(_nb).cast("int"),
-        )
-        frontier_next = _frontier_shape(remain).unionByName(incoming)
+        if sel_small:
+            # Broadcast regime: ONE scan of the frontier — drop selected
+            # rows (exchange-free broadcast anti-join), bump the eligible
+            # remainder's deferral, keep ineligible rows unchanged.
+            # Set-identical to the two-branch form below (selected ⊆
+            # eligible, so the anti-join over the whole frontier drops
+            # exactly the same rows), with one scan and one fewer union
+            # branch. Probing ineligible rows costs a hash lookup per row,
+            # never a shuffle — this shape is gated on the broadcast for
+            # that reason.
+            remain = adv.join(sel_hashes, "url_hash", "left_anti").withColumn(
+                "not_before_round",
+                F.when(_nb <= r, F.lit(r) + delay_eff).otherwise(_nb).cast("int"),
+            )
+            frontier_next = _frontier_shape(remain).unionByName(incoming)
+        else:
+            # Shuffle regime (selected batch above the broadcast cap):
+            # anti-join ONLY the eligible slice — shuffling the whole
+            # frontier (ineligible rows included) through the exchange
+            # would be O(frontier) extra shuffle bytes per round for rows
+            # the join cannot touch; ineligible rows ride through unjoined.
+            deferred = (
+                adv.filter(_nb <= r)
+                .join(sel_hashes, "url_hash", "left_anti")
+                .withColumn(
+                    "not_before_round", (F.lit(r) + delay_eff).cast("int")
+                )
+            )
+            frontier_next = (
+                _frontier_shape(deferred)
+                .unionByName(_frontier_shape(adv.filter(_nb > r)))
+                .unionByName(incoming)
+            )
         obs_fr = Observation()
         store.write(
             frontier_next.observe(obs_fr, F.count(F.lit(1)).alias("n")), r, "frontier"

@@ -62,6 +62,55 @@ def _bloom_chain(bloom_bcast) -> list | None:
     return [bloom_bcast]
 
 
+def _partial_dedup(res: pd.DataFrame, relational: bool) -> pd.DataFrame:
+    """Map-side combine for the A2 dedup, run INSIDE the Arrow pass (guide
+    §2.3 "aggregate before you shuffle"): the round-8 bucket keying places
+    the explicit repartition BELOW the aggregate, so without this the
+    exchange would carry every RAW link row (duplicate links included) —
+    the round-7 url_hash-keyed aggregate combined map-side for free.
+    Per-batch, per-url_hash partial mins compose exactly with the global
+    aggregate (min/max are associative; every column is min'd
+    independently there too). String mins compare UTF-8 BYTES so the
+    partial order is identical to Spark's binary string collation (python
+    str comparison is codepoint order, which diverges on non-ASCII).
+    host/host_hash/bucket/path/maybe_seen are functions of the canonical
+    url/url_hash, so their min/max is value-stable regardless."""
+    if len(res) <= 1 or not res["url_hash"].duplicated().any():
+        return res
+    work = res.assign(
+        _ub=res["url"].str.encode("utf-8"),
+        _hb=res["host"].str.encode("utf-8"),
+    )
+    spec = {
+        "_ub": ("_ub", "min"),
+        "_hb": ("_hb", "min"),
+        "host_hash": ("host_hash", "min"),
+        "priority": ("priority", "min"),
+        "crawl_depth": ("crawl_depth", "min"),
+        "bucket": ("bucket", "min"),
+        "maybe_seen": ("maybe_seen", "max"),
+    }
+    if relational:
+        work = work.assign(_pb=res["path"].str.encode("utf-8"))
+        spec["_pb"] = ("_pb", "min")
+    agg = work.groupby("url_hash", as_index=False, sort=False).agg(**spec)
+    out = pd.DataFrame(
+        {
+            "url": agg["_ub"].str.decode("utf-8"),
+            "url_hash": agg["url_hash"].astype("int64"),
+            "host": agg["_hb"].str.decode("utf-8"),
+            "host_hash": agg["host_hash"].astype("int64"),
+            "priority": agg["priority"].astype("int32"),
+            "crawl_depth": agg["crawl_depth"].astype("int32"),
+            "bucket": agg["bucket"].astype("int32"),
+        }
+    )
+    if relational:
+        out["path"] = agg["_pb"].str.decode("utf-8")
+    out["maybe_seen"] = agg["maybe_seen"].astype(bool)
+    return out
+
+
 def candidate_rows(
     docs: DataFrame,
     cfg: CrawlConfig,
@@ -189,7 +238,7 @@ def candidate_rows(
                 res["maybe_seen"] = bloom_mod.probe_chain(
                     payloads, res["bucket"].to_numpy(), res["url_hash"].to_numpy()
                 )
-            yield res
+            yield _partial_dedup(res, relational)
 
     schema = CANDIDATE_SCHEMA + (", path string" if relational else "")
     cands = joined.mapInPandas(process, schema)
